@@ -1,0 +1,51 @@
+"""
+MCAQ-YOLO-TPU: Morphological Complexity-Aware Quantization for YOLO,
+re-designed TPU-first on JAX / Flax / Pallas / pjit.
+
+Capability-parity rebuild of the reference `mcaq_yolo` package
+(/root/reference, arXiv:2511.12976).  This is NOT a port: the YOLOv8
+detection stack (backbone / FPN neck / Detect head / TAL loss / NMS /
+data pipeline) is implemented natively here (the reference imports it
+from Ultralytics), MCAQ is inserted as a pure functional transform
+between backbone and neck (the reference uses PyTorch forward hooks +
+mutable state, see reference models/mcaq_yolo.py:344,402-473), and the
+fused spatial-quantization kernel is a Pallas TPU kernel (the reference
+ships a CUDA kernel, ops/src/mcaq_kernel.cu).
+
+Layout
+------
+core/       morphology metrics, bit allocation, quantization, curriculum
+models/     YOLOv8 family (n/s/m/l/x), MCAQ assembly, detection loss
+ops/        Pallas TPU kernels + pure-XLA references, NMS
+data/       YOLO-txt dataset, letterbox, augmentation, fixed-shape batching
+parallel/   device mesh, sharding rules, data-parallel train/eval steps
+utils/      evaluation (mAP), visualization, repro, model utils
+scripts/    backend_agreement, m3_permutation, m4_variation_gain
+"""
+
+__version__ = "0.1.0"
+
+# Eager: lightweight pure-math core (mirrors the reference's PEP 562 split,
+# reference __init__.py:30-38 — core eager, heavy engine lazy).
+from .core.curriculum import CurriculumScheduler  # noqa: F401
+
+_LAZY = {
+    "MCAQYOLO": ".models.mcaq_yolo",
+    "MCAQYOLOLoss": ".models.losses",
+    "Trainer": ".train",
+    "Predictor": ".inference",
+    "MorphologicalComplexityAnalyzer": ".core.morphology",
+    "ComplexityToBitMappingNetwork": ".core.bit_allocation",
+    "LinearBitMapper": ".core.bit_allocation",
+    "SpatialAdaptiveQuantization": ".core.quantization",
+    "LearnedSoftMask": ".core.quantization",
+}
+
+
+def __getattr__(name):  # PEP 562 lazy loading
+    if name in _LAZY:
+        import importlib
+
+        mod = importlib.import_module(_LAZY[name], __name__)
+        return getattr(mod, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -1,0 +1,132 @@
+"""
+Curriculum Learning Scheduler (paper Fig.3 / Sec IV-C / Algorithm 3).
+
+Pure functions of the epoch index — no framework state, trivially usable
+both host-side (epoch loop) and as static scalars fed into jitted steps.
+Mirrors the reference's schedule math exactly (reference core/curriculum.py):
+
+  Stage 1 (0..Twarm):        warm-up — low-complexity samples, quantization
+                             bypassed (high precision)
+  Stage 2 (Twarm..Ttrans):   transition — mixed samples, dynamic bits,
+                             temperature annealing
+  Stage 3 (Ttrans..end):     full MCAQ
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict
+
+
+class CurriculumScheduler:
+    def __init__(
+        self,
+        warmup_epochs: int = 20,        # Table X: Twarm = 20 (Stage 1 boundary)
+        transition_epochs: int = 50,    # Fig.3: Stage 2 ends at epoch 50
+        total_epochs: int = 300,        # Table X
+        initial_complexity: float = 0.2,   # tau0
+        initial_temperature: float = 10.0,  # alpha_0
+        initial_bits: float = 8.0,
+        target_bits: float = 4.0,
+        curriculum_type: str = "exponential",  # 'linear'|'exponential'|'cosine'|'step'
+        lambda_smooth: float = 0.1,     # Table X lambda2; scale down for finer grids
+    ):
+        self.warmup_epochs = warmup_epochs
+        self.transition_epochs = transition_epochs
+        self.total_epochs = total_epochs
+        self.initial_complexity = initial_complexity
+        self.initial_temperature = initial_temperature
+        self.initial_bits = initial_bits
+        self.target_bits = target_bits
+        self.curriculum_type = curriculum_type
+        self.lambda_smooth = lambda_smooth
+        self.current_epoch = 0
+
+    # -- stage ---------------------------------------------------------
+    def get_stage(self, epoch: int) -> int:
+        """{1, 2, 3} per the three-stage schedule (boundaries inclusive on
+        the left stage, matching the reference curriculum.py:66-83)."""
+        if epoch <= self.warmup_epochs:
+            return 1
+        if epoch <= self.transition_epochs:
+            return 2
+        return 3
+
+    # -- complexity threshold tau_t (Algorithm 3 line 5) ----------------
+    def get_complexity_threshold(self, epoch: int) -> float:
+        """tau_t = tau0 + (1 - tau0) * t/Twarm for t <= Twarm, then 1.0."""
+        if epoch <= self.warmup_epochs:
+            progress = epoch / self.warmup_epochs
+            return self.initial_complexity + (1.0 - self.initial_complexity) * progress
+        return 1.0
+
+    # -- temperature alpha_t (Algorithm 3 line 10) ----------------------
+    def get_temperature(self, epoch: int) -> float:
+        T = self.total_epochs
+        if self.curriculum_type == "linear":
+            p = min(epoch / T, 1.0)
+            return self.initial_temperature * (1.0 - p) + 1.0 * p
+        if self.curriculum_type == "exponential":
+            # alpha_t = 1 + (alpha_0 - 1) * exp(-5 t / T)  (paper: 1 + 9 e^{-5t/T})
+            t = min(epoch, T)
+            return 1.0 + (self.initial_temperature - 1.0) * math.exp(-5.0 * t / max(1, T))
+        if self.curriculum_type == "cosine":
+            p = min(epoch / T, 1.0)
+            return 1.0 + 0.5 * (self.initial_temperature - 1.0) * (1 + math.cos(math.pi * p))
+        if self.curriculum_type == "step":
+            temp = self.initial_temperature
+            for milestone in (30, 60, 90, 120):
+                if epoch >= milestone:
+                    temp *= 0.5
+            return temp
+        return 1.0
+
+    # -- target bits -----------------------------------------------------
+    def get_target_bits(self, epoch: int) -> float:
+        """8 during warm-up, then exponential (default) or linear decay to
+        the target (reference curriculum.py:152-177)."""
+        if epoch < self.warmup_epochs:
+            return self.initial_bits
+        progress = (epoch - self.warmup_epochs) / (self.total_epochs - self.warmup_epochs)
+        progress = min(progress, 1.0)
+        if self.curriculum_type == "exponential":
+            return self.target_bits + (self.initial_bits - self.target_bits) * math.exp(
+                -3.0 * progress
+            )
+        return self.initial_bits - (self.initial_bits - self.target_bits) * progress
+
+    # -- bookkeeping -----------------------------------------------------
+    def step(self):
+        self.current_epoch += 1
+
+    def get_current_params(self) -> Dict:
+        e = self.current_epoch
+        return {
+            "epoch": e,
+            "complexity_threshold": self.get_complexity_threshold(e),
+            "temperature": self.get_temperature(e),
+            "target_bits": self.get_target_bits(e),
+        }
+
+    def should_update_bit_allocation(self, epoch: int) -> bool:
+        update_interval = 10
+        return epoch > self.warmup_epochs and epoch % update_interval == 0
+
+    # -- loss weights (paper Eq.20 + Table X) ------------------------------
+    def get_loss_weights(self, epoch: int) -> Dict[str, float]:
+        """lambda1 annealed 0.01 -> 0.1; lambda2 ramped 0 -> lambda_smooth
+        across the transition stage (nothing to smooth during the
+        high-precision warm-up); lambda3 = 0.5; lambda4 = 1e-4."""
+        progress = min(epoch / max(1, self.total_epochs), 1.0)
+        lambda1 = 0.01 + (0.1 - 0.01) * progress
+
+        span = max(1, self.transition_epochs - self.warmup_epochs)
+        ramp = min(1.0, max(0.0, (epoch - self.warmup_epochs) / span))
+
+        return {
+            "detection": 1.0,
+            "bit_budget": lambda1,
+            "smoothness": self.lambda_smooth * ramp,
+            "distillation": 0.5,
+            "regularization": 1e-4,
+        }

@@ -1,0 +1,13 @@
+"""Data pipeline: YOLO-txt dataset, letterbox, augmentation, fixed-shape
+padded batches (jit-compatible replacement for the Ultralytics pipeline the
+reference uses, reference train.py:302-371)."""
+
+from .dataset import (  # noqa: F401
+    YOLODataset,
+    DataLoader,
+    letterbox,
+    load_dataset_yaml,
+    compute_dataset_complexity,
+    create_complexity_balanced_sampler,
+    make_synthetic_dataset,
+)

@@ -1,0 +1,443 @@
+"""
+YOLO-format dataset + fixed-shape batching for TPU training.
+
+Replaces the Ultralytics data pipeline the reference depends on
+(reference train.py:302-371, utils/dataset.py).  Key TPU-driven design
+choice: every batch has STATIC shapes — images letterboxed to a fixed
+square, labels padded to `max_boxes` with a validity mask — so the jitted
+train/eval steps never recompile (SURVEY.md §7 'curriculum subset sampling
+vs jit').
+
+Layout is NHWC float32 in [0, 1].  Boxes are xyxy in letterboxed-image
+pixels.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+
+    HAS_CV2 = True
+except ImportError:  # pragma: no cover
+    HAS_CV2 = False
+
+try:
+    import yaml
+
+    HAS_YAML = True
+except ImportError:  # pragma: no cover
+    HAS_YAML = False
+
+
+IMG_EXTS = (".jpg", ".jpeg", ".png", ".bmp")
+
+
+# ---------------------------------------------------------------------------
+# Letterbox (reference inference.py:145-174, utils/dataset.py:138-210)
+# ---------------------------------------------------------------------------
+
+
+def letterbox(
+    img: np.ndarray, new_size: int = 640, pad_value: int = 114
+) -> Tuple[np.ndarray, float, Tuple[int, int]]:
+    """Resize keeping aspect ratio, pad to square with gray (114).
+
+    Returns (letterboxed HxWx3 uint8, scale, (pad_x, pad_y))."""
+    h, w = img.shape[:2]
+    scale = min(new_size / h, new_size / w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    if HAS_CV2:
+        resized = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    else:
+        yi = (np.arange(nh) * h / nh).astype(int)
+        xi = (np.arange(nw) * w / nw).astype(int)
+        resized = img[yi][:, xi]
+    out = np.full((new_size, new_size, 3), pad_value, img.dtype)
+    pad_y = (new_size - nh) // 2
+    pad_x = (new_size - nw) // 2
+    out[pad_y : pad_y + nh, pad_x : pad_x + nw] = resized
+    return out, scale, (pad_x, pad_y)
+
+
+def unletterbox_boxes(
+    boxes: np.ndarray, scale: float, pad: Tuple[int, int], orig_hw: Tuple[int, int]
+) -> np.ndarray:
+    """Invert the letterbox transform on xyxy boxes and clamp to the
+    original image (reference inference.py:226-243)."""
+    b = boxes.copy().astype(np.float32)
+    b[:, [0, 2]] = (b[:, [0, 2]] - pad[0]) / scale
+    b[:, [1, 3]] = (b[:, [1, 3]] - pad[1]) / scale
+    h, w = orig_hw
+    b[:, [0, 2]] = b[:, [0, 2]].clip(0, w)
+    b[:, [1, 3]] = b[:, [1, 3]].clip(0, h)
+    return b
+
+
+# ---------------------------------------------------------------------------
+# Dataset yaml (YOLOv8 format: path / train / val / names)
+# ---------------------------------------------------------------------------
+
+
+def load_dataset_yaml(yaml_path: str) -> Dict:
+    if not HAS_YAML:
+        raise RuntimeError("pyyaml unavailable")
+    with open(yaml_path) as f:
+        cfg = yaml.safe_load(f)
+    root = Path(cfg.get("path", Path(yaml_path).parent))
+    if not root.is_absolute():
+        root = Path(yaml_path).parent / root
+    names = cfg.get("names", {})
+    if isinstance(names, list):
+        names = {i: n for i, n in enumerate(names)}
+    return {
+        "root": str(root),
+        "train": str(root / cfg.get("train", "images/train")),
+        "val": str(root / cfg.get("val", "images/val")),
+        "names": names,
+        "nc": cfg.get("nc", len(names)),
+    }
+
+
+def _label_path(img_path: str) -> str:
+    """images/... -> labels/... with .txt (YOLO convention)."""
+    p = Path(img_path)
+    parts = list(p.parts)
+    for i in range(len(parts) - 1, -1, -1):
+        if parts[i] == "images":
+            parts[i] = "labels"
+            break
+    return str(Path(*parts).with_suffix(".txt"))
+
+
+# ---------------------------------------------------------------------------
+# Dataset
+# ---------------------------------------------------------------------------
+
+
+class YOLODataset:
+    """YOLO-txt dataset with letterbox + light augmentation.
+
+    Augmentations (train mode): horizontal flip, HSV jitter, mosaic (4-image
+    stitch).  Scoring/val mode is augmentation-free (the curriculum scores
+    must be computed on clean images — reference train.py:376-397)."""
+
+    def __init__(
+        self,
+        img_dir: str,
+        img_size: int = 640,
+        max_boxes: int = 128,
+        augment: bool = False,
+        hflip_p: float = 0.5,
+        hsv_p: float = 0.5,
+        mosaic_p: float = 0.0,
+        seed: int = 0,
+    ):
+        self.img_dir = img_dir
+        self.img_size = img_size
+        self.max_boxes = max_boxes
+        self.augment = augment
+        self.hflip_p = hflip_p
+        self.hsv_p = hsv_p
+        self.mosaic_p = mosaic_p
+        self.rng = np.random.default_rng(seed)
+
+        self.img_files = sorted(
+            str(p) for p in Path(img_dir).rglob("*") if p.suffix.lower() in IMG_EXTS
+        )
+        if not self.img_files:
+            raise FileNotFoundError(f"no images under {img_dir}")
+
+    def __len__(self) -> int:
+        return len(self.img_files)
+
+    def files_fingerprint(self) -> str:
+        """md5 of the sorted file list — curriculum cache invalidation
+        (reference train.py:425-447)."""
+        h = hashlib.md5()
+        for f in self.img_files:
+            h.update(f.encode())
+        return h.hexdigest()
+
+    # -- raw IO -----------------------------------------------------------
+
+    def _read_image(self, path: str) -> np.ndarray:
+        if HAS_CV2:
+            img = cv2.imread(path)  # BGR
+            if img is None:
+                raise IOError(f"failed to read {path}")
+            return img[..., ::-1]  # RGB
+        from PIL import Image
+
+        return np.asarray(Image.open(path).convert("RGB"))
+
+    def _read_labels(self, img_path: str) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (boxes_xywhn (M, 4), classes (M,))."""
+        lp = _label_path(img_path)
+        if not os.path.exists(lp):
+            return np.zeros((0, 4), np.float32), np.zeros((0,), np.int32)
+        rows = []
+        with open(lp) as f:
+            for line in f:
+                vals = line.split()
+                if len(vals) >= 5:
+                    rows.append([float(v) for v in vals[:5]])
+        if not rows:
+            return np.zeros((0, 4), np.float32), np.zeros((0,), np.int32)
+        arr = np.asarray(rows, np.float32)
+        return arr[:, 1:5], arr[:, 0].astype(np.int32)
+
+    # -- augmentation ------------------------------------------------------
+
+    def _hsv_jitter(self, img: np.ndarray) -> np.ndarray:
+        if not HAS_CV2:
+            return img
+        hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV).astype(np.float32)
+        gains = 1.0 + self.rng.uniform(-1, 1, 3) * np.array([0.015, 0.7, 0.4])
+        hsv[..., 0] = (hsv[..., 0] * gains[0]) % 180
+        hsv[..., 1] = np.clip(hsv[..., 1] * gains[1], 0, 255)
+        hsv[..., 2] = np.clip(hsv[..., 2] * gains[2], 0, 255)
+        return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+
+    # -- item --------------------------------------------------------------
+
+    def get_item(self, idx: int) -> Dict[str, np.ndarray]:
+        path = self.img_files[idx]
+        img = self._read_image(path)
+        orig_h, orig_w = img.shape[:2]
+        boxes_n, classes = self._read_labels(path)
+
+        if self.augment and self.rng.random() < self.hsv_p:
+            img = self._hsv_jitter(np.ascontiguousarray(img))
+
+        lb, scale, (px, py) = letterbox(img, self.img_size)
+
+        # xywhn (relative to original) -> xyxy in letterboxed pixels
+        if len(boxes_n):
+            cx = boxes_n[:, 0] * orig_w * scale + px
+            cy = boxes_n[:, 1] * orig_h * scale + py
+            bw = boxes_n[:, 2] * orig_w * scale
+            bh = boxes_n[:, 3] * orig_h * scale
+            boxes = np.stack(
+                [cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2], axis=-1
+            ).astype(np.float32)
+        else:
+            boxes = np.zeros((0, 4), np.float32)
+
+        if self.augment and self.rng.random() < self.hflip_p:
+            lb = lb[:, ::-1]
+            if len(boxes):
+                x1 = self.img_size - boxes[:, 2]
+                x2 = self.img_size - boxes[:, 0]
+                boxes[:, 0], boxes[:, 2] = x1, x2
+
+        image = np.ascontiguousarray(lb, np.float32) / 255.0
+
+        # pad labels to static max_boxes
+        M = self.max_boxes
+        n = min(len(boxes), M)
+        gt_boxes = np.zeros((M, 4), np.float32)
+        gt_classes = np.zeros((M,), np.int32)
+        gt_mask = np.zeros((M,), bool)
+        gt_boxes[:n] = boxes[:n]
+        gt_classes[:n] = classes[:n]
+        gt_mask[:n] = True
+
+        return {
+            "image": image,
+            "gt_boxes": gt_boxes,
+            "gt_classes": gt_classes,
+            "gt_mask": gt_mask,
+            "path": path,
+            "orig_hw": (orig_h, orig_w),
+            "scale": scale,
+            "pad": (px, py),
+        }
+
+    __getitem__ = get_item
+
+
+# ---------------------------------------------------------------------------
+# Loader
+# ---------------------------------------------------------------------------
+
+
+class DataLoader:
+    """Minimal fixed-shape batcher.  Supports an explicit index subset (the
+    curriculum's tau_t-filtered sampling — indices are chosen HOST-side so
+    batch shapes stay static, reference train.py:497-526) and drop_last
+    batching so every step sees the same shape."""
+
+    def __init__(
+        self,
+        dataset: YOLODataset,
+        batch_size: int = 16,
+        shuffle: bool = False,
+        indices: Optional[Sequence[int]] = None,
+        seed: int = 0,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.indices = list(indices) if indices is not None else list(range(len(dataset)))
+        self.rng = np.random.default_rng(seed)
+        self.drop_last = drop_last
+
+    def __len__(self) -> int:
+        n = len(self.indices)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = list(self.indices)
+        if self.shuffle:
+            self.rng.shuffle(order)
+        bs = self.batch_size
+        end = len(order) - (len(order) % bs) if self.drop_last else len(order)
+        if end == 0 and not self.drop_last:
+            end = len(order)
+        for i in range(0, end, bs):
+            chunk = order[i : i + bs]
+            if self.drop_last and len(chunk) < bs:
+                break
+            items = [self.dataset.get_item(j) for j in chunk]
+            yield {
+                "image": np.stack([it["image"] for it in items]),
+                "gt_boxes": np.stack([it["gt_boxes"] for it in items]),
+                "gt_classes": np.stack([it["gt_classes"] for it in items]),
+                "gt_mask": np.stack([it["gt_mask"] for it in items]),
+                "paths": [it["path"] for it in items],
+            }
+
+
+# ---------------------------------------------------------------------------
+# Dataset complexity scoring (Algorithm 3 line 1; reference utils/dataset.py:276-401)
+# ---------------------------------------------------------------------------
+
+
+def compute_dataset_complexity(
+    dataset: YOLODataset,
+    score_fn=None,
+    batch_size: int = 8,
+    cache_path: Optional[str] = None,
+    backend: str = "train",
+    img_size: Optional[int] = None,
+) -> np.ndarray:
+    """Per-image deterministic complexity scores for curriculum sorting.
+
+    score_fn(images (B,H,W,3) float32) -> (B,) scores; if None, falls back to
+    a model-free edge-density proxy (reference dataset.py:300-401).  Scores
+    are cached with a (backend, imgsz, file-md5) fingerprint
+    (reference train.py:425-477)."""
+    n = len(dataset)
+    img_size = img_size or dataset.img_size
+    meta = {
+        "version": 1,
+        "backend": backend,
+        "imgsz": img_size,
+        "n": n,
+        "files_md5": dataset.files_fingerprint(),
+        "augment": False,
+    }
+
+    if cache_path and os.path.exists(cache_path) and os.path.exists(cache_path + ".meta.json"):
+        with open(cache_path + ".meta.json") as f:
+            cached_meta = json.load(f)
+        if cached_meta == meta:
+            return np.load(cache_path)
+
+    if score_fn is None:
+        from ..core import morphology_cv2
+
+        def score_fn(images):
+            return np.array(
+                [morphology_cv2.edge_density_score(im) for im in np.asarray(images)]
+            )
+
+    scores = np.zeros(n, np.float32)
+    loader = DataLoader(dataset, batch_size, shuffle=False, drop_last=False)
+    pos = 0
+    for batch in loader:
+        s = np.asarray(score_fn(batch["image"])).reshape(-1)
+        scores[pos : pos + len(s)] = s
+        pos += len(s)
+
+    if cache_path:
+        np.save(cache_path, scores)
+        with open(cache_path + ".meta.json", "w") as f:
+            json.dump(meta, f)
+    return scores
+
+
+def create_complexity_balanced_sampler(
+    scores: np.ndarray, n_bins: int = 10, seed: int = 0
+) -> np.ndarray:
+    """Index permutation that balances complexity bins per epoch
+    (reference utils/dataset.py:408-434)."""
+    rng = np.random.default_rng(seed)
+    order = np.argsort(scores)
+    bins = np.array_split(order, n_bins)
+    for b in bins:
+        rng.shuffle(b)
+    interleaved = []
+    longest = max(len(b) for b in bins)
+    for i in range(longest):
+        for b in bins:
+            if i < len(b):
+                interleaved.append(b[i])
+    return np.asarray(interleaved)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic dataset (tests / smoke runs — no network access in this env)
+# ---------------------------------------------------------------------------
+
+
+def make_synthetic_dataset(
+    root: str, n_images: int = 16, img_size: int = 160, n_classes: int = 8,
+    split: str = "train", seed: int = 0,
+) -> str:
+    """Write a tiny synthetic YOLO-format dataset (random rectangles with
+    matching labels) + dataset.yaml.  Returns the yaml path."""
+    rng = np.random.default_rng(seed)
+    img_dir = Path(root) / "images" / split
+    lbl_dir = Path(root) / "labels" / split
+    img_dir.mkdir(parents=True, exist_ok=True)
+    lbl_dir.mkdir(parents=True, exist_ok=True)
+
+    from PIL import Image
+
+    for i in range(n_images):
+        img = (rng.random((img_size, img_size, 3)) * 60 + 40).astype(np.uint8)
+        n_obj = int(rng.integers(1, 5))
+        lines = []
+        for _ in range(n_obj):
+            cls = int(rng.integers(0, n_classes))
+            w = rng.uniform(0.15, 0.5)
+            h = rng.uniform(0.15, 0.5)
+            cx = rng.uniform(w / 2, 1 - w / 2)
+            cy = rng.uniform(h / 2, 1 - h / 2)
+            x1 = int((cx - w / 2) * img_size)
+            y1 = int((cy - h / 2) * img_size)
+            x2 = int((cx + w / 2) * img_size)
+            y2 = int((cy + h / 2) * img_size)
+            color = rng.integers(120, 255, 3)
+            img[y1:y2, x1:x2] = color
+            lines.append(f"{cls} {cx:.6f} {cy:.6f} {w:.6f} {h:.6f}")
+        Image.fromarray(img).save(img_dir / f"img_{i:04d}.jpg")
+        (lbl_dir / f"img_{i:04d}.txt").write_text("\n".join(lines) + "\n")
+
+    yaml_path = Path(root) / "dataset.yaml"
+    names = "\n".join(f"  {i}: class{i}" for i in range(n_classes))
+    yaml_path.write_text(
+        f"path: {root}\ntrain: images/{split}\nval: images/{split}\n"
+        f"nc: {n_classes}\nnames:\n{names}\n"
+    )
+    return str(yaml_path)

@@ -1,0 +1,271 @@
+"""
+Predictor + `mcaq-yolo-infer` CLI (reference inference.py, TPU-native).
+
+Loads a trained checkpoint, letterboxes inputs to the model size, runs the
+jitted MCAQ forward (temperature 1.0, quantization active — the deployed
+configuration), decodes with DFL + fixed-shape NMS, and inverts the
+letterbox.  Returns the reference's result contract
+(reference inference.py:276-295): detections, inference_time_ms, avg_bits,
+and the P3-scale complexity/bit maps.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from functools import partial
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from .data.dataset import IMG_EXTS, letterbox, unletterbox_boxes
+from .models import MCAQYOLO
+from .models.yolo import decode_predictions
+from .ops.nms import batched_nms
+
+
+class Predictor:
+    """Single-image / batch MCAQ-YOLO inference."""
+
+    def __init__(
+        self,
+        model_path: str,
+        num_classes: int = 80,
+        variant: str = "yolov8n",
+        img_size: int = 640,
+        conf_threshold: float = 0.25,
+        iou_threshold: float = 0.45,
+        max_det: int = 1000,
+        class_names: Optional[Dict[int, str]] = None,
+        bit_mapping: str = "mlp",
+        grid_size: int = 8,
+        warmup: bool = True,
+    ):
+        meta = {}
+        meta_path = Path(str(model_path) + ".json")
+        if meta_path.exists():
+            meta = json.loads(meta_path.read_text())
+            variant = meta.get("variant", variant)
+            num_classes = int(meta.get("num_classes", num_classes))
+            img_size = int(meta.get("img_size", img_size))
+            qcfg = meta.get("config", {}).get("quantization", {})
+            bit_mapping = qcfg.get("bit_mapping", bit_mapping)
+            grid_size = int(qcfg.get("grid_size", grid_size))
+
+        self.img_size = img_size
+        self.num_classes = num_classes
+        self.conf_threshold = conf_threshold
+        self.iou_threshold = iou_threshold
+        self.max_det = max_det
+        self.class_names = class_names or meta.get("names") or {
+            i: f"class{i}" for i in range(num_classes)
+        }
+
+        self.model = MCAQYOLO(
+            variant=variant, num_classes=num_classes,
+            bit_mapping=bit_mapping, grid_size=grid_size,
+        )
+        self.variables = self._load_model(model_path)
+
+        self._predict_jit = jax.jit(self._predict_device)
+        if warmup:
+            self._warmup()
+
+    # ------------------------------------------------------------------
+
+    def _load_model(self, model_path: str):
+        """Checkpoint load with template-relaxation fallback
+        (the JAX analogue of the reference's strict -> strict=False fallback,
+        inference.py:101-116): keys absent from the checkpoint keep their
+        freshly initialized values, with a warning."""
+        dummy = jnp.zeros((1, self.img_size, self.img_size, 3), jnp.float32)
+        variables = self.model.init(jax.random.PRNGKey(0), dummy, training=False)
+        template = {
+            "params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {}),
+            "quant_stats": variables.get("quant_stats", {}),
+            "buffers": variables.get("buffers", {}),
+            "opt_state": None,
+            "step": 0,
+        }
+        blob = Path(model_path).read_bytes()
+        try:
+            payload = serialization.from_bytes(template, blob)
+        except Exception as e:  # tolerate missing/extra keys
+            import warnings
+
+            warnings.warn(f"[MCAQ] strict checkpoint load failed ({e}); "
+                          "retrying with weights-only template.")
+            slim = {k: template[k] for k in ("params", "batch_stats",
+                                             "quant_stats", "buffers")}
+            payload = {**template, **serialization.from_bytes(slim, blob)}
+        return {
+            "params": payload["params"],
+            "batch_stats": payload["batch_stats"],
+            "quant_stats": payload["quant_stats"],
+            "buffers": payload["buffers"],
+        }
+
+    def _warmup(self, iters: int = 3):
+        x = jnp.zeros((1, self.img_size, self.img_size, 3), jnp.float32)
+        for _ in range(iters):
+            jax.block_until_ready(self._predict_jit(self.variables, x))
+
+    # ------------------------------------------------------------------
+
+    def _predict_device(self, variables, images):
+        """Jitted device program: forward + decode + NMS."""
+        raw, aux = self.model.apply(
+            variables, images, temperature=1.0, quantize=True, training=False
+        )
+        boxes, scores, _, _ = decode_predictions(raw, self.num_classes)
+        det = batched_nms(
+            boxes, scores,
+            conf_threshold=self.conf_threshold,
+            iou_threshold=self.iou_threshold,
+            max_det=self.max_det,
+        )
+        return det + (aux["avg_bits"], aux["complexity_map"][0], aux["bit_map"][0])
+
+    def preprocess(self, image: np.ndarray):
+        lb, scale, pad = letterbox(image, self.img_size)
+        return lb.astype(np.float32) / 255.0, scale, pad
+
+    def predict(self, image: np.ndarray, visualize: bool = False,
+                output_dir: Optional[str] = None) -> Dict:
+        """image: HxWx3 uint8 RGB.  Returns the reference result contract."""
+        orig_hw = image.shape[:2]
+        img, scale, pad = self.preprocess(image)
+
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(
+            self._predict_jit(self.variables, jnp.asarray(img[None]))
+        )
+        dt_ms = (time.perf_counter() - t0) * 1000.0
+        boxes, scores, classes, valid, avg_bits, cmap, bmap = jax.device_get(out)
+
+        v = valid[0].astype(bool)
+        det_boxes = unletterbox_boxes(boxes[0][v], scale, pad, orig_hw)
+        detections = [
+            {
+                "bbox": det_boxes[i].tolist(),
+                "confidence": float(scores[0][v][i]),
+                "class_id": int(classes[0][v][i]),
+                "class_name": self.class_names.get(
+                    int(classes[0][v][i]), str(int(classes[0][v][i]))
+                ),
+            }
+            for i in range(int(v.sum()))
+        ]
+        results = {
+            "detections": detections,
+            "inference_time_ms": dt_ms,
+            "avg_bits": float(avg_bits),
+            "complexity_map": np.asarray(cmap[0]),
+            "bit_map": np.asarray(bmap[0]),
+        }
+        if visualize and output_dir:
+            from .utils import visualization as viz
+
+            Path(output_dir).mkdir(parents=True, exist_ok=True)
+            viz.visualize_complexity_map(
+                image, results["complexity_map"],
+                str(Path(output_dir) / "complexity.png"),
+            )
+            viz.visualize_bit_allocation(
+                image, results["bit_map"], str(Path(output_dir) / "bits.png")
+            )
+        return results
+
+    def predict_batch(self, images: List[np.ndarray]) -> List[Dict]:
+        """Directory/batch mode (reference inference.py:383-455)."""
+        return [self.predict(im) for im in images]
+
+
+# ---------------------------------------------------------------------------
+# CLI (reference inference.py:458-563)
+# ---------------------------------------------------------------------------
+
+
+def _read_image_rgb(path: str) -> np.ndarray:
+    try:
+        import cv2
+
+        img = cv2.imread(path)
+        if img is None:
+            raise IOError(path)
+        return img[..., ::-1].copy()
+    except ImportError:
+        from PIL import Image
+
+        return np.asarray(Image.open(path).convert("RGB"))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="MCAQ-YOLO-TPU inference")
+    parser.add_argument("--model", required=True, help="checkpoint path (.ckpt)")
+    parser.add_argument("--source", required=True, help="image file or directory")
+    parser.add_argument("--conf", type=float, default=0.25)
+    parser.add_argument("--iou", type=float, default=0.45)
+    parser.add_argument("--max-det", type=int, default=1000)
+    parser.add_argument("--img-size", type=int, default=640)
+    parser.add_argument("--num-classes", type=int, default=80)
+    parser.add_argument("--variant", default="yolov8n")
+    parser.add_argument("--output", default=None, help="JSON dump path")
+    parser.add_argument("--visualize", action="store_true")
+    parser.add_argument("--output-dir", default="outputs/infer")
+    args = parser.parse_args(argv)
+
+    predictor = Predictor(
+        args.model, num_classes=args.num_classes, variant=args.variant,
+        img_size=args.img_size, conf_threshold=args.conf,
+        iou_threshold=args.iou, max_det=args.max_det,
+    )
+
+    src = Path(args.source)
+    if src.is_dir():
+        files = sorted(
+            str(p) for p in src.rglob("*") if p.suffix.lower() in IMG_EXTS
+        )
+        all_results = {}
+        for f in files:
+            r = predictor.predict(_read_image_rgb(f))
+            all_results[f] = {
+                "num_detections": len(r["detections"]),
+                "inference_time_ms": r["inference_time_ms"],
+                "avg_bits": r["avg_bits"],
+            }
+            print(f"{f}: {len(r['detections'])} dets, "
+                  f"{r['inference_time_ms']:.1f} ms, {r['avg_bits']:.2f} bits")
+        summary = {
+            "num_images": len(files),
+            "mean_time_ms": float(
+                np.mean([r["inference_time_ms"] for r in all_results.values()])
+            ) if all_results else 0.0,
+            "results": all_results,
+        }
+        if args.output:
+            Path(args.output).write_text(json.dumps(summary, indent=2))
+        print(json.dumps({k: v for k, v in summary.items() if k != "results"}))
+    else:
+        r = predictor.predict(
+            _read_image_rgb(str(src)), visualize=args.visualize,
+            output_dir=args.output_dir,
+        )
+        dump = {
+            "detections": r["detections"],
+            "inference_time_ms": r["inference_time_ms"],
+            "avg_bits": r["avg_bits"],
+        }
+        if args.output:
+            Path(args.output).write_text(json.dumps(dump, indent=2))
+        print(json.dumps(dump, indent=2))
+
+
+if __name__ == "__main__":
+    main()

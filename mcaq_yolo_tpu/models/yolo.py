@@ -1,0 +1,232 @@
+"""
+YOLOv8 detection model family (n/s/m/l/x) in Flax linen, NHWC.
+
+The reference obtains this network from Ultralytics
+(reference models/mcaq_yolo.py:243-250); here it is a native JAX
+implementation with explicit structure: the backbone RETURNS the C3/C4/C5
+feature maps (so MCAQ can be inserted functionally between backbone and
+neck — no forward hooks), the PAN neck consumes them, and the Detect head
+emits raw per-scale maps plus a DFL-decoded prediction tensor at eval.
+
+Scaling follows YOLOv8's depth/width/max-channel multiples; channel counts
+are rounded to multiples of 8 — on TPU the channel (lane) dimension packs
+into 128-wide registers, and multiples of 8 keep every conv MXU-tileable.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import C2f, ConvBnSiLU, SPPF, upsample2x
+
+# variant: (depth_mult, width_mult, max_channels)
+VARIANTS = {
+    "yolov8n": (0.33, 0.25, 1024),
+    "yolov8s": (0.33, 0.50, 1024),
+    "yolov8m": (0.67, 0.75, 768),
+    "yolov8l": (1.00, 1.00, 512),
+    "yolov8x": (1.00, 1.25, 512),
+}
+
+REG_MAX = 16
+STRIDES = (8, 16, 32)
+
+
+def _ch(base: int, width: float, max_ch: int) -> int:
+    """Scaled channel count, rounded to a multiple of 8."""
+    return int(math.ceil(min(base, max_ch) * width / 8) * 8)
+
+
+def _n(base: int, depth: float) -> int:
+    return max(round(base * depth), 1)
+
+
+def variant_channels(variant: str) -> Tuple[int, int, int]:
+    """(C3, C4, C5) channel counts for a variant — the per-scale quantizer
+    shapes depend on these."""
+    d, w, mc = VARIANTS[variant]
+    return _ch(256, w, mc), _ch(512, w, mc), _ch(1024, w, mc)
+
+
+class YOLOv8Backbone(nn.Module):
+    """Stem + stages P1..P5 with SPPF; returns (C3, C4, C5) — the FPN inputs
+    the reference quantizes via hooks at indices [4, 6, 9]
+    (reference models/mcaq_yolo.py:351-400)."""
+
+    variant: str = "yolov8n"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, training: bool = False):
+        d, w, mc = VARIANTS[self.variant]
+        x = ConvBnSiLU(_ch(64, w, mc), 3, 2)(x, training)       # 0: P1/2
+        x = ConvBnSiLU(_ch(128, w, mc), 3, 2)(x, training)      # 1: P2/4
+        x = C2f(_ch(128, w, mc), _n(3, d), True)(x, training)   # 2
+        x = ConvBnSiLU(_ch(256, w, mc), 3, 2)(x, training)      # 3: P3/8
+        c3 = C2f(_ch(256, w, mc), _n(6, d), True)(x, training)  # 4  -> C3
+        x = ConvBnSiLU(_ch(512, w, mc), 3, 2)(c3, training)     # 5: P4/16
+        c4 = C2f(_ch(512, w, mc), _n(6, d), True)(x, training)  # 6  -> C4
+        x = ConvBnSiLU(_ch(1024, w, mc), 3, 2)(c4, training)    # 7: P5/32
+        x = C2f(_ch(1024, w, mc), _n(3, d), True)(x, training)  # 8
+        c5 = SPPF(_ch(1024, w, mc))(x, training)                # 9  -> C5
+        return c3, c4, c5
+
+
+class YOLOv8Neck(nn.Module):
+    """PAN feature pyramid: top-down then bottom-up, C2f fusion blocks."""
+
+    variant: str = "yolov8n"
+
+    @nn.compact
+    def __call__(self, c3, c4, c5, training: bool = False):
+        d, w, mc = VARIANTS[self.variant]
+        # top-down
+        p4 = C2f(_ch(512, w, mc), _n(3, d), False)(
+            jnp.concatenate([upsample2x(c5), c4], axis=-1), training
+        )  # 12
+        p3 = C2f(_ch(256, w, mc), _n(3, d), False)(
+            jnp.concatenate([upsample2x(p4), c3], axis=-1), training
+        )  # 15 -> P3 out
+        # bottom-up
+        n4 = C2f(_ch(512, w, mc), _n(3, d), False)(
+            jnp.concatenate(
+                [ConvBnSiLU(_ch(256, w, mc), 3, 2)(p3, training), p4], axis=-1
+            ),
+            training,
+        )  # 18 -> P4 out
+        n5 = C2f(_ch(1024, w, mc), _n(3, d), False)(
+            jnp.concatenate(
+                [ConvBnSiLU(_ch(512, w, mc), 3, 2)(n4, training), c5], axis=-1
+            ),
+            training,
+        )  # 21 -> P5 out
+        return p3, n4, n5
+
+
+class DetectHead(nn.Module):
+    """Decoupled anchor-free Detect head with DFL box regression.
+
+    Per scale: a box branch (2x Conv3x3 -> 1x1 conv, 4*REG_MAX channels) and
+    a cls branch (2x Conv3x3 -> 1x1 conv, nc channels).  Returns the raw
+    per-scale maps (B, H, W, 4*REG_MAX + nc) — the KD-logit targets and the
+    training-loss inputs (reference _extract_raw_maps, models/mcaq_yolo.py:21-36).
+    """
+
+    num_classes: int = 80
+    variant: str = "yolov8n"
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray], training: bool = False):
+        d, w, mc = VARIANTS[self.variant]
+        c3ch = _ch(256, w, mc)
+        c_box = max(16, c3ch // 4, 4 * REG_MAX)
+        c_cls = max(c3ch, min(self.num_classes, 100))
+
+        outs = []
+        for i, f in enumerate(feats):
+            # stability init for the 1x1 heads (analogue of Ultralytics'
+            # bias_init): box bias 1.0; cls bias set so initial P(cls) is
+            # ~ 5 / (nc * anchors-per-image-at-this-scale)
+            stride = STRIDES[i]
+            cls_prior = 5.0 / self.num_classes / ((640 / stride) ** 2)
+            cls_bias = float(-math.log((1.0 - cls_prior) / cls_prior))
+
+            b = ConvBnSiLU(c_box, 3, name=f"box{i}_conv0")(f, training)
+            b = ConvBnSiLU(c_box, 3, name=f"box{i}_conv1")(b, training)
+            b = nn.Conv(
+                4 * REG_MAX, (1, 1),
+                bias_init=nn.initializers.constant(1.0),
+                name=f"box{i}_out",
+            )(b)
+
+            c = ConvBnSiLU(c_cls, 3, name=f"cls{i}_conv0")(f, training)
+            c = ConvBnSiLU(c_cls, 3, name=f"cls{i}_conv1")(c, training)
+            c = nn.Conv(
+                self.num_classes, (1, 1),
+                bias_init=nn.initializers.constant(cls_bias),
+                name=f"cls{i}_out",
+            )(c)
+
+            outs.append(jnp.concatenate([b, c], axis=-1))
+        return outs
+
+
+def make_anchors(
+    feat_shapes: Sequence[Tuple[int, int]], strides: Sequence[int] = STRIDES,
+    offset: float = 0.5,
+):
+    """Anchor points (cell centers, feature units) + per-anchor stride.
+
+    Returns (points (A, 2) [x, y], strides (A, 1)) concatenated over scales
+    in scale order — static shapes, computed at trace time."""
+    points, strs = [], []
+    for (h, w), s in zip(feat_shapes, strides):
+        xv = jnp.arange(w, dtype=jnp.float32) + offset
+        yv = jnp.arange(h, dtype=jnp.float32) + offset
+        xx, yy = jnp.meshgrid(xv, yv)
+        points.append(jnp.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1))
+        strs.append(jnp.full((h * w, 1), float(s)))
+    return jnp.concatenate(points, axis=0), jnp.concatenate(strs, axis=0)
+
+
+def dfl_decode(box_dist: jnp.ndarray) -> jnp.ndarray:
+    """DFL expectation: (..., 4, REG_MAX) logits -> (..., 4) distances.
+
+    softmax + arange dot — a tiny matmul XLA maps onto the MXU."""
+    p = jax.nn.softmax(box_dist, axis=-1)
+    bins = jnp.arange(REG_MAX, dtype=p.dtype)
+    return (p * bins).sum(axis=-1)
+
+
+def decode_predictions(
+    raw_maps: Sequence[jnp.ndarray], num_classes: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Flatten per-scale raw maps into anchor-major tensors and decode boxes.
+
+    Returns (boxes_xyxy (B, A, 4) in input pixels, scores (B, A, nc) sigmoid,
+    anchor points (A, 2), strides (A, 1))."""
+    B = raw_maps[0].shape[0]
+    feat_shapes = [m.shape[1:3] for m in raw_maps]
+    points, strides = make_anchors(feat_shapes)
+
+    flat = jnp.concatenate(
+        [m.reshape(B, -1, m.shape[-1]) for m in raw_maps], axis=1
+    )  # (B, A, 4*REG_MAX + nc)
+    box_dist = flat[..., : 4 * REG_MAX].reshape(B, -1, 4, REG_MAX)
+    cls_logits = flat[..., 4 * REG_MAX:]
+
+    dist = dfl_decode(box_dist)  # (B, A, 4) ltrb in feature units
+    lt, rb = dist[..., :2], dist[..., 2:]
+    x1y1 = (points[None] - lt) * strides[None]
+    x2y2 = (points[None] + rb) * strides[None]
+    boxes = jnp.concatenate([x1y1, x2y2], axis=-1)
+    scores = jax.nn.sigmoid(cls_logits)
+    return boxes, scores, points, strides
+
+
+class YOLOv8(nn.Module):
+    """Plain (non-MCAQ) YOLOv8 — used as the FP32 teacher and as the base
+    ablation arm.  Returns the raw per-scale Detect maps."""
+
+    variant: str = "yolov8n"
+    num_classes: int = 80
+
+    def setup(self):
+        self.backbone = YOLOv8Backbone(self.variant)
+        self.neck = YOLOv8Neck(self.variant)
+        self.head = DetectHead(self.num_classes, self.variant)
+
+    def __call__(self, x: jnp.ndarray, training: bool = False):
+        c3, c4, c5 = self.backbone(x, training)
+        p3, p4, p5 = self.neck(c3, c4, c5, training)
+        return self.head([p3, p4, p5], training)
+
+    def features(self, x: jnp.ndarray, training: bool = False):
+        """Backbone features only — teacher-side feature KD taps
+        (the reference registers teacher hooks at the student's backbone
+        indices, train.py:225-236)."""
+        return self.backbone(x, training)

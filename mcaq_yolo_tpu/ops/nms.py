@@ -1,0 +1,105 @@
+"""
+Fixed-shape non-maximum suppression in JAX.
+
+The reference uses Ultralytics' dynamic-shape NMS (reference
+inference.py:17-20, utils/evaluation.py:197-203); on TPU every shape must be
+static, so this implementation:
+  1. reduces per-anchor class scores to (best_score, best_class),
+  2. pre-selects a static `pre_topk` candidate set by score (confidence
+     gating by zeroing scores — no dynamic boolean compaction),
+  3. runs greedy suppression as a fori_loop over the candidate set with a
+     class-offset trick for class-aware IoU,
+  4. emits exactly `max_det` slots with a validity mask.
+
+Everything is O(pre_topk^2) vectorized VPU work — no host sync, fully
+jit/vmap/pjit compatible.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _iou_matrix(boxes: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """(N, 4) xyxy -> (N, N) IoU."""
+    a = boxes[:, None, :]
+    b = boxes[None, :, :]
+    lt = jnp.maximum(a[..., :2], b[..., :2])
+    rb = jnp.minimum(a[..., 2:], b[..., 2:])
+    wh = jnp.clip(rb - lt, 0.0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area = jnp.clip(boxes[:, 2] - boxes[:, 0], 0, None) * jnp.clip(
+        boxes[:, 3] - boxes[:, 1], 0, None
+    )
+    return inter / (area[:, None] + area[None, :] - inter + eps)
+
+
+@partial(jax.jit, static_argnames=("max_det", "pre_topk", "class_agnostic"))
+def non_max_suppression(
+    boxes: jnp.ndarray,       # (A, 4) xyxy
+    scores: jnp.ndarray,      # (A, nc) per-class scores (sigmoid)
+    conf_threshold: float = 0.25,
+    iou_threshold: float = 0.45,
+    max_det: int = 300,
+    pre_topk: int = 1024,
+    class_agnostic: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Single-image NMS.  Returns (boxes (max_det, 4), scores (max_det,),
+    classes (max_det,), valid (max_det,) bool), score-sorted."""
+    A, nc = scores.shape
+    best_score = scores.max(axis=-1)
+    best_class = scores.argmax(axis=-1).astype(jnp.int32)
+
+    # confidence gate by zeroing (static shape)
+    best_score = jnp.where(best_score >= conf_threshold, best_score, 0.0)
+
+    k = min(pre_topk, A)
+    top_scores, top_idx = lax.top_k(best_score, k)
+    top_boxes = boxes[top_idx]
+    top_classes = best_class[top_idx]
+    alive = top_scores > 0.0
+
+    # class-aware IoU via coordinate offset (skipped when class_agnostic)
+    if class_agnostic:
+        nms_boxes = top_boxes
+    else:
+        span = jnp.max(top_boxes) + 1.0
+        offset = top_classes.astype(top_boxes.dtype)[:, None] * span
+        nms_boxes = top_boxes + offset
+
+    iou = _iou_matrix(nms_boxes)  # (k, k)
+    idx = jnp.arange(k)
+
+    def body(i, keep):
+        # if candidate i survives, suppress lower-scored overlaps
+        sup = (iou[i] > iou_threshold) & (idx > i) & keep[i]
+        return keep & jnp.logical_not(sup)
+
+    keep = lax.fori_loop(0, k, body, alive)
+
+    # compact the survivors to the front, score order preserved
+    final_scores = jnp.where(keep, top_scores, 0.0)
+    out_scores, order = lax.top_k(final_scores, min(max_det, k))
+    out_boxes = top_boxes[order]
+    out_classes = top_classes[order]
+    out_valid = out_scores > 0.0
+
+    if max_det > k:  # pad (rare: max_det larger than candidate pool)
+        pad = max_det - k
+        out_scores = jnp.pad(out_scores, (0, pad))
+        out_boxes = jnp.pad(out_boxes, ((0, pad), (0, 0)))
+        out_classes = jnp.pad(out_classes, (0, pad))
+        out_valid = jnp.pad(out_valid, (0, pad))
+    return out_boxes, out_scores, out_classes, out_valid
+
+
+def batched_nms(boxes, scores, **kwargs):
+    """vmap over the batch: (B, A, 4), (B, A, nc) -> per-image padded
+    detections."""
+    fn = lambda b, s: non_max_suppression(b, s, **kwargs)
+    return jax.vmap(fn)(boxes, scores)

@@ -1,0 +1,103 @@
+"""
+Model statistics and profiling (reference utils/model_utils.py): parameter
+counts, checkpoint size, steady-state throughput profiling, standalone
+per-channel weight fake-quantization, and activation-range calibration.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.quantization import quantize_tensor
+
+
+def count_parameters(params) -> Dict[str, int]:
+    """Total / per-top-level-module parameter counts."""
+    leaves = jax.tree_util.tree_leaves(params)
+    total = int(sum(np.prod(l.shape) for l in leaves))
+    per_module = {}
+    if isinstance(params, dict):
+        for k, v in params.items():
+            per_module[k] = int(
+                sum(np.prod(l.shape) for l in jax.tree_util.tree_leaves(v))
+            )
+    return {"total": total, **per_module}
+
+
+def get_model_size(params, bits_per_param: float = 32.0) -> float:
+    """Model size in MB at the given weight precision."""
+    total = count_parameters(params)["total"]
+    return total * bits_per_param / 8.0 / 1e6
+
+
+def profile_model(
+    forward_fn: Callable, example_input, num_iters: int = 100, warmup: int = 5
+) -> Dict[str, float]:
+    """Steady-state timing with block_until_ready bracketing — the JAX
+    equivalent of the reference's cuda-synchronized 100-iter FPS harness
+    (reference model_utils.py:39-78)."""
+    for _ in range(warmup):
+        jax.block_until_ready(forward_fn(example_input))
+    t0 = time.perf_counter()
+    for _ in range(num_iters):
+        out = forward_fn(example_input)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    batch = example_input.shape[0] if hasattr(example_input, "shape") else 1
+    return {
+        "total_s": dt,
+        "iter_ms": dt / num_iters * 1000.0,
+        "fps": num_iters * batch / dt,
+    }
+
+
+def apply_weight_quantization(
+    params, bits: int = 8, per_channel: bool = True
+):
+    """Standalone post-training weight fake-quantization of every weight
+    matrix/tensor (reference model_utils.py:81-125).  Per-channel granularity
+    uses the OUTPUT-channel axis (last axis of HWIO conv kernels / dense
+    kernels).  NaN-guarded via the shared scale clamp."""
+
+    def quant(leaf):
+        if leaf.ndim < 2:
+            return leaf  # biases / norms stay fp
+        if per_channel:
+            axes = tuple(range(leaf.ndim - 1))
+            x_min = leaf.min(axis=axes, keepdims=True)
+            x_max = leaf.max(axis=axes, keepdims=True)
+        else:
+            x_min = leaf.min()
+            x_max = leaf.max()
+        return quantize_tensor(leaf, x_min, x_max, bits, training=False)
+
+    return jax.tree.map(quant, params)
+
+
+def calibrate_activation_ranges(
+    apply_feats_fn: Callable, batches, max_batches: int = 8
+) -> Dict[str, Dict[str, float]]:
+    """Activation min/max collection over calibration batches
+    (reference model_utils.py:127-179, hook-based there; functional here —
+    apply_feats_fn(images) returns a dict/list of named feature maps)."""
+    ranges: Dict[str, Dict[str, float]] = {}
+    for i, batch in enumerate(batches):
+        feats = apply_feats_fn(batch)
+        if not isinstance(feats, dict):
+            feats = {f"feat{j}": f for j, f in enumerate(feats)}
+        for name, f in feats.items():
+            lo = float(jnp.min(f))
+            hi = float(jnp.max(f))
+            if name not in ranges:
+                ranges[name] = {"min": lo, "max": hi}
+            else:
+                ranges[name]["min"] = min(ranges[name]["min"], lo)
+                ranges[name]["max"] = max(ranges[name]["max"], hi)
+        if i + 1 >= max_batches:
+            break
+    return ranges

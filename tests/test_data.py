@@ -1,0 +1,81 @@
+"""Data pipeline tests: letterbox geometry, fixed-shape batching, label
+alignment, complexity scoring cache."""
+
+import numpy as np
+import pytest
+
+from mcaq_yolo_tpu.data.dataset import (
+    DataLoader,
+    YOLODataset,
+    compute_dataset_complexity,
+    create_complexity_balanced_sampler,
+    letterbox,
+    load_dataset_yaml,
+    make_synthetic_dataset,
+    unletterbox_boxes,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds")
+    yaml_path = make_synthetic_dataset(str(root), n_images=8, img_size=96,
+                                       n_classes=4)
+    return yaml_path
+
+
+def test_letterbox_roundtrip():
+    img = np.zeros((100, 200, 3), np.uint8)
+    out, scale, pad = letterbox(img, 160)
+    assert out.shape == (160, 160, 3)
+    assert abs(scale - 0.8) < 1e-6
+    # a box in original coords survives the round trip
+    boxes_lb = np.array([[10 * scale + pad[0], 10 * scale + pad[1],
+                          50 * scale + pad[0], 60 * scale + pad[1]]])
+    back = unletterbox_boxes(boxes_lb, scale, pad, (100, 200))
+    np.testing.assert_allclose(back, [[10, 10, 50, 60]], atol=1e-4)
+
+
+def test_dataset_fixed_shapes(tiny_dataset):
+    ds_cfg = load_dataset_yaml(tiny_dataset)
+    ds = YOLODataset(ds_cfg["train"], img_size=96, max_boxes=16)
+    assert len(ds) == 8
+    item = ds[0]
+    assert item["image"].shape == (96, 96, 3)
+    assert item["gt_boxes"].shape == (16, 4)
+    assert item["gt_mask"].sum() >= 1
+    # boxes must lie inside the letterboxed image
+    valid = item["gt_boxes"][item["gt_mask"]]
+    assert valid.min() >= 0 and valid.max() <= 96
+
+
+def test_dataloader_batching(tiny_dataset):
+    ds_cfg = load_dataset_yaml(tiny_dataset)
+    ds = YOLODataset(ds_cfg["train"], img_size=96, max_boxes=16)
+    loader = DataLoader(ds, batch_size=4, shuffle=True, seed=1)
+    batches = list(loader)
+    assert len(batches) == 2
+    for b in batches:
+        assert b["image"].shape == (4, 96, 96, 3)
+        assert b["gt_boxes"].shape == (4, 16, 4)
+
+    # subset indices keep static shapes
+    sub = DataLoader(ds, batch_size=2, indices=[0, 1, 2], drop_last=True)
+    assert len(list(sub)) == 1
+
+
+def test_complexity_scores_cache(tiny_dataset, tmp_path):
+    ds_cfg = load_dataset_yaml(tiny_dataset)
+    ds = YOLODataset(ds_cfg["train"], img_size=96, max_boxes=16)
+    cache = str(tmp_path / "scores.npy")
+    s1 = compute_dataset_complexity(ds, None, cache_path=cache)
+    assert s1.shape == (8,)
+    assert (s1 >= 0).all() and (s1 <= 1).all()
+    s2 = compute_dataset_complexity(ds, None, cache_path=cache)  # cache hit
+    np.testing.assert_array_equal(s1, s2)
+
+
+def test_balanced_sampler():
+    scores = np.linspace(0, 1, 20)
+    order = create_complexity_balanced_sampler(scores, n_bins=4)
+    assert sorted(order.tolist()) == list(range(20))

@@ -1,0 +1,98 @@
+"""Fixed-shape NMS + mAP evaluation tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from mcaq_yolo_tpu.ops.nms import non_max_suppression
+from mcaq_yolo_tpu.utils.evaluation import compute_map, _ap_from_pr
+
+
+def test_nms_suppresses_overlaps():
+    boxes = jnp.asarray(
+        [
+            [0, 0, 10, 10],
+            [1, 1, 11, 11],     # overlaps box 0, lower score -> suppressed
+            [50, 50, 60, 60],   # separate
+            [0, 0, 10, 10],     # different class, same box -> kept
+        ],
+        jnp.float32,
+    )
+    scores = np.zeros((4, 3), np.float32)
+    scores[0, 0] = 0.9
+    scores[1, 0] = 0.8
+    scores[2, 1] = 0.7
+    scores[3, 2] = 0.6
+    b, s, c, v = non_max_suppression(
+        boxes, jnp.asarray(scores), conf_threshold=0.25,
+        iou_threshold=0.45, max_det=10, pre_topk=4,
+    )
+    kept = int(v.sum())
+    assert kept == 3
+    kept_scores = sorted(np.asarray(s)[np.asarray(v)].tolist(), reverse=True)
+    np.testing.assert_allclose(kept_scores, [0.9, 0.7, 0.6], atol=1e-6)
+
+
+def test_nms_class_agnostic():
+    boxes = jnp.asarray([[0, 0, 10, 10], [0, 0, 10, 10]], jnp.float32)
+    scores = np.zeros((2, 2), np.float32)
+    scores[0, 0] = 0.9
+    scores[1, 1] = 0.8
+    _, _, _, v = non_max_suppression(
+        boxes, jnp.asarray(scores), conf_threshold=0.1, iou_threshold=0.5,
+        max_det=5, pre_topk=2, class_agnostic=True,
+    )
+    assert int(v.sum()) == 1
+
+
+def test_nms_conf_gate():
+    boxes = jnp.asarray([[0, 0, 10, 10]], jnp.float32)
+    scores = jnp.asarray([[0.1]], jnp.float32)
+    _, _, _, v = non_max_suppression(
+        boxes, scores, conf_threshold=0.25, max_det=5, pre_topk=1
+    )
+    assert int(v.sum()) == 0
+
+
+def test_ap_perfect_detection():
+    preds = [
+        {"boxes": np.array([[0, 0, 10, 10]]), "scores": np.array([0.9]),
+         "classes": np.array([0])}
+    ]
+    targets = [{"boxes": np.array([[0, 0, 10, 10]]), "classes": np.array([0])}]
+    res = compute_map(preds, targets, 0.5)
+    assert res["map"] == 1.0
+
+
+def test_ap_hallucinated_class_zero():
+    """A detected-but-never-GT class contributes AP 0
+    (reference evaluation.py:122-129)."""
+    preds = [
+        {"boxes": np.array([[0, 0, 10, 10], [20, 20, 30, 30]]),
+         "scores": np.array([0.9, 0.8]), "classes": np.array([0, 5])}
+    ]
+    targets = [{"boxes": np.array([[0, 0, 10, 10]]), "classes": np.array([0])}]
+    res = compute_map(preds, targets, 0.5)
+    assert res["ap_per_class"][0] == 1.0
+    assert res["ap_per_class"][5] == 0.0
+    assert res["map"] == 0.5
+
+
+def test_ap_greedy_single_match():
+    """Two detections on one GT: only the higher-scored one is a TP."""
+    preds = [
+        {"boxes": np.array([[0, 0, 10, 10], [0, 0, 10, 10]]),
+         "scores": np.array([0.9, 0.8]), "classes": np.array([0, 0])}
+    ]
+    targets = [{"boxes": np.array([[0, 0, 10, 10]]), "classes": np.array([0])}]
+    res = compute_map(preds, targets, 0.5)
+    # recall 1 at rank 1 but precision drops at rank 2: VOC all-point AP = 1.0
+    assert res["map"] == 1.0
+
+
+def test_ap_interp_methods():
+    recall = np.array([0.5, 1.0])
+    precision = np.array([1.0, 0.5])
+    ap_voc = _ap_from_pr(recall, precision, "voc")
+    ap_coco = _ap_from_pr(recall, precision, "coco")
+    assert 0.5 <= ap_voc <= 1.0
+    assert 0.5 <= ap_coco <= 1.0
