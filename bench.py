@@ -1,0 +1,77 @@
+"""
+MCAQ-YOLO-TPU benchmark — prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline metric (BASELINE.json north star): 640px images/sec/chip for
+batched yolov8n MCAQ inference (quantized forward through the fused
+quantization path) on the real TPU.
+
+vs_baseline: the reference repo publishes no measured numbers
+(BASELINE.md — "no trained weights, no paper-table configs/results");
+its only latency anchor is the paper's 151 FPS claim
+(reference README.md:375-379), so vs_baseline = images_per_sec / 151.0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+PAPER_FPS_BASELINE = 151.0  # arXiv:2511.12976 latency claim (reference README)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from mcaq_yolo_tpu.models import MCAQYOLO
+
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    img = int(os.environ.get("BENCH_IMG", "640"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+
+    model = MCAQYOLO(variant="yolov8n", num_classes=80, bit_mapping="mlp")
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((batch, img, img, 3), np.float32))
+    variables = model.init(jax.random.PRNGKey(0), images[:1], training=False)
+
+    @jax.jit
+    def forward(variables, images):
+        raw_maps, aux = model.apply(
+            variables, images, temperature=1.0, quantize=True, training=False
+        )
+        return raw_maps, aux["avg_bits"]
+
+    # compile + warmup
+    for _ in range(warmup):
+        jax.block_until_ready(forward(variables, images))
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(variables, images)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch * iters / dt
+    result = {
+        "metric": "yolov8n_mcaq_infer_640_images_per_sec_per_chip",
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(imgs_per_sec / PAPER_FPS_BASELINE, 3),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -159,6 +159,13 @@ class SpatialAdaptiveQuantization(nn.Module):
     per_channel: bool = True
     momentum: float = 0.99
     histogram_bins: int = 2048
+    # Eval-path backend: 'auto' | 'pallas' | 'jnp'.  Measured on v5e at the
+    # yolov8n/640 shapes, XLA's fused static 7-plane compose (644us, 163GB/s
+    # effective) beats the hand-written single-pass Pallas kernel (1348us —
+    # the lane-1 per-pixel scalar maps waste 127/128 lanes), so 'auto'
+    # selects the XLA path; the Pallas kernel stays available for explicit
+    # use and carries the parity contract vs the XLA reference.
+    backend: str = "auto"
 
     @nn.compact
     def __call__(
@@ -224,16 +231,28 @@ class SpatialAdaptiveQuantization(nn.Module):
             hist.value if hist is not None else None, training,
         )
 
-        # ---- static per-bit composition ----
-        if training:
-            x_q = self._compose_fractional(xf, bit_map, x_min, x_max)
-        else:
-            x_q = self._compose_integer(xf, bit_map, x_min, x_max)
-
-        # ---- Eq.(19) learned soft mask ----
+        # ---- Eq.(19) learned soft mask (built before the quantize so the
+        # fused inference kernel can consume it — paper Listing 2) ----
+        m = None
         if self.smooth_transitions:
             m = LearnedSoftMask(name="soft_mask")(bit_map, xf)
-            x_q = x_q * m
+
+        # ---- composition ----
+        if training:
+            x_q = self._compose_fractional(xf, bit_map, x_min, x_max)
+            if m is not None:
+                x_q = x_q * m
+        else:
+            use_pallas = self.backend == "pallas"
+            if use_pallas:
+                # fused Pallas path: quantize + mask multiply in one VMEM pass
+                from ..ops.pallas_quant import spatial_quantize_pallas
+
+                x_q = spatial_quantize_pallas(xf, bit_map, x_min, x_max, mask=m)
+            else:
+                x_q = self._compose_integer(xf, bit_map, x_min, x_max)
+                if m is not None:
+                    x_q = x_q * m
 
         return x_q.astype(x.dtype)
 

@@ -217,7 +217,18 @@ class YOLODataset:
         if self.augment and self.rng.random() < self.hsv_p:
             img = self._hsv_jitter(np.ascontiguousarray(img))
 
-        lb, scale, (px, py) = letterbox(img, self.img_size)
+        # native fused letterbox+normalize when the C++ library is built
+        # (make -C native); Python/cv2 path otherwise
+        from . import native_loader
+
+        if native_loader.available():
+            image_f32, scale, (px, py) = native_loader.letterbox_f32(
+                img, self.img_size
+            )
+            lb = None
+        else:
+            lb, scale, (px, py) = letterbox(img, self.img_size)
+            image_f32 = np.ascontiguousarray(lb, np.float32) / 255.0
 
         # xywhn (relative to original) -> xyxy in letterboxed pixels
         if len(boxes_n):
@@ -232,13 +243,13 @@ class YOLODataset:
             boxes = np.zeros((0, 4), np.float32)
 
         if self.augment and self.rng.random() < self.hflip_p:
-            lb = lb[:, ::-1]
+            image_f32 = np.ascontiguousarray(image_f32[:, ::-1])
             if len(boxes):
                 x1 = self.img_size - boxes[:, 2]
                 x2 = self.img_size - boxes[:, 0]
-                boxes[:, 0], boxes[:, 2] = x1, x2
+                boxes[:, 0], boxes[:, 2] = x1.copy(), x2.copy()
 
-        image = np.ascontiguousarray(lb, np.float32) / 255.0
+        image = image_f32
 
         # pad labels to static max_boxes
         M = self.max_boxes

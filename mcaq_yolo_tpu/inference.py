@@ -85,30 +85,48 @@ class Predictor:
         freshly initialized values, with a warning."""
         dummy = jnp.zeros((1, self.img_size, self.img_size, 3), jnp.float32)
         variables = self.model.init(jax.random.PRNGKey(0), dummy, training=False)
-        template = {
-            "params": variables["params"],
-            "batch_stats": variables.get("batch_stats", {}),
-            "quant_stats": variables.get("quant_stats", {}),
-            "buffers": variables.get("buffers", {}),
-            "opt_state": None,
-            "step": 0,
-        }
         blob = Path(model_path).read_bytes()
-        try:
-            payload = serialization.from_bytes(template, blob)
-        except Exception as e:  # tolerate missing/extra keys
-            import warnings
+        # structure-free restore (checkpoints carry optimizer state the
+        # predictor cannot template), then a tolerant overlay: keys absent
+        # from the checkpoint keep their initialized values with a warning —
+        # the JAX analogue of the reference's strict -> strict=False
+        # fallback (reference inference.py:101-116).
+        payload = serialization.msgpack_restore(blob)
 
-            warnings.warn(f"[MCAQ] strict checkpoint load failed ({e}); "
-                          "retrying with weights-only template.")
-            slim = {k: template[k] for k in ("params", "batch_stats",
-                                             "quant_stats", "buffers")}
-            payload = {**template, **serialization.from_bytes(slim, blob)}
+        import warnings
+
+        def overlay(dst, src, path=""):
+            out = dict(dst)
+            for k, v in dst.items():
+                if src is None or k not in src:
+                    warnings.warn(f"[MCAQ] checkpoint missing {path}/{k}; "
+                                  "keeping initialized value")
+                    continue
+                if isinstance(v, dict):
+                    out[k] = overlay(v, src[k], f"{path}/{k}")
+                else:
+                    sv = src[k]
+                    if tuple(getattr(sv, "shape", ())) != tuple(v.shape):
+                        warnings.warn(
+                            f"[MCAQ] shape mismatch at {path}/{k} "
+                            f"({getattr(sv, 'shape', None)} vs {v.shape}); "
+                            "keeping initialized value"
+                        )
+                        continue
+                    out[k] = jnp.asarray(sv, v.dtype)
+            return out
+
         return {
-            "params": payload["params"],
-            "batch_stats": payload["batch_stats"],
-            "quant_stats": payload["quant_stats"],
-            "buffers": payload["buffers"],
+            "params": overlay(variables["params"], payload.get("params")),
+            "batch_stats": overlay(
+                variables.get("batch_stats", {}), payload.get("batch_stats")
+            ),
+            "quant_stats": overlay(
+                variables.get("quant_stats", {}), payload.get("quant_stats")
+            ),
+            "buffers": overlay(
+                variables.get("buffers", {}), payload.get("buffers")
+            ),
         }
 
     def _warmup(self, iters: int = 3):

@@ -23,12 +23,16 @@ BN_EPS = 1e-3
 
 
 class ConvBnSiLU(nn.Module):
-    """Conv2D (SAME) + BatchNorm + SiLU — YOLOv8's 'Conv' block."""
+    """Conv2D (SAME) + BatchNorm + SiLU — YOLOv8's 'Conv' block.
+
+    `dtype` is the compute dtype (bfloat16 on TPU for MXU throughput);
+    parameters and BN statistics stay float32 (`param_dtype`)."""
 
     features: int
     kernel: int = 1
     stride: int = 1
     act: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
@@ -38,11 +42,15 @@ class ConvBnSiLU(nn.Module):
             strides=(self.stride, self.stride),
             padding="SAME",
             use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
         )(x)
         x = nn.BatchNorm(
             use_running_average=not training,
             momentum=BN_MOMENTUM,
             epsilon=BN_EPS,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
         )(x)
         if self.act:
             x = nn.silu(x)
@@ -55,12 +63,13 @@ class Bottleneck(nn.Module):
     features: int
     shortcut: bool = True
     expansion: float = 0.5
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         hidden = int(self.features * self.expansion)
-        y = ConvBnSiLU(hidden, 3)(x, training)
-        y = ConvBnSiLU(self.features, 3)(y, training)
+        y = ConvBnSiLU(hidden, 3, dtype=self.dtype)(x, training)
+        y = ConvBnSiLU(self.features, 3, dtype=self.dtype)(y, training)
         if self.shortcut and x.shape[-1] == self.features:
             y = x + y
         return y
@@ -77,17 +86,19 @@ class C2f(nn.Module):
     n: int = 1
     shortcut: bool = False
     expansion: float = 0.5
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         hidden = int(self.features * self.expansion)
-        y = ConvBnSiLU(2 * hidden, 1)(x, training)
+        y = ConvBnSiLU(2 * hidden, 1, dtype=self.dtype)(x, training)
         parts = [y[..., :hidden], y[..., hidden:]]
         for _ in range(self.n):
             parts.append(
-                Bottleneck(hidden, self.shortcut, 1.0)(parts[-1], training)
+                Bottleneck(hidden, self.shortcut, 1.0, dtype=self.dtype)(parts[-1], training)
             )
-        return ConvBnSiLU(self.features, 1)(jnp.concatenate(parts, axis=-1), training)
+        return ConvBnSiLU(self.features, 1, dtype=self.dtype)(
+            jnp.concatenate(parts, axis=-1), training)
 
 
 class SPPF(nn.Module):
@@ -95,11 +106,12 @@ class SPPF(nn.Module):
 
     features: int
     pool_size: int = 5
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         hidden = x.shape[-1] // 2
-        y = ConvBnSiLU(hidden, 1)(x, training)
+        y = ConvBnSiLU(hidden, 1, dtype=self.dtype)(x, training)
 
         k = self.pool_size
         pad = k // 2
@@ -114,7 +126,7 @@ class SPPF(nn.Module):
         p1 = pool(y)
         p2 = pool(p1)
         p3 = pool(p2)
-        return ConvBnSiLU(self.features, 1)(
+        return ConvBnSiLU(self.features, 1, dtype=self.dtype)(
             jnp.concatenate([y, p1, p2, p3], axis=-1), training
         )
 

@@ -58,11 +58,12 @@ class MCAQYOLO(nn.Module):
     normalize_complexity: bool = False
     calibration_mode: str = "minmax"
     smooth_transitions: bool = True
+    dtype: jnp.dtype = jnp.float32  # bf16 network compute; MCAQ math stays fp32
 
     def setup(self):
-        self.backbone = YOLOv8Backbone(self.variant)
-        self.neck = YOLOv8Neck(self.variant)
-        self.head = DetectHead(self.num_classes, self.variant)
+        self.backbone = YOLOv8Backbone(self.variant, dtype=self.dtype)
+        self.neck = YOLOv8Neck(self.variant, dtype=self.dtype)
+        self.head = DetectHead(self.num_classes, self.variant, dtype=self.dtype)
 
         self.complexity_analyzer = MorphologicalComplexityAnalyzer(
             grid_size=self.grid_size

@@ -1,0 +1,196 @@
+"""
+Torch YOLOv8 -> JAX weight converter.
+
+The reference initializes both the student and the FP32 teacher from
+Ultralytics `yolov8*.pt` weights (reference train.py:93,
+models/mcaq_yolo.py:243-250).  This module maps an Ultralytics
+DetectionModel state_dict onto this package's flax module tree:
+
+  torch `model.{idx}.*`  ->  flax backbone/neck/head submodules
+  conv (O,I,kh,kw)       ->  HWIO (kh,kw,I,O)
+  BN weight/bias         ->  scale/bias; running stats -> batch_stats
+
+Note on inputs: a full Ultralytics `.pt` pickle embeds ultralytics class
+objects and cannot be unpickled without that package.  Accepted inputs are
+(a) a plain state_dict checkpoint (torch.save(model.state_dict())), or
+(b) an in-memory dict of numpy/torch tensors.  `extract_state_dict.py`
+one-liner for an env WITH ultralytics:
+    torch.save(YOLO('yolov8n.pt').model.state_dict(), 'yolov8n_sd.pt')
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+# torch layer index -> (section, flax module name) for the standard YOLOv8
+# topology (backbone 0-9, neck 10-21, head 22)
+_BACKBONE_MAP = {
+    0: "ConvBnSiLU_0",
+    1: "ConvBnSiLU_1",
+    2: "C2f_0",
+    3: "ConvBnSiLU_2",
+    4: "C2f_1",
+    5: "ConvBnSiLU_3",
+    6: "C2f_2",
+    7: "ConvBnSiLU_4",
+    8: "C2f_3",
+    9: "SPPF_0",
+}
+_NECK_MAP = {
+    12: "C2f_0",
+    15: "C2f_1",
+    16: "ConvBnSiLU_0",
+    18: "C2f_2",
+    19: "ConvBnSiLU_1",
+    21: "C2f_3",
+}
+HEAD_IDX = 22
+
+
+def _to_np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def _conv_kernel(t) -> np.ndarray:
+    """torch OIHW -> flax HWIO."""
+    return _to_np(t).transpose(2, 3, 1, 0)
+
+
+def _set(tree: Dict, path, value):
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = value
+
+
+def _convert_convbn(sd: Dict, prefix: str, params: Dict, stats: Dict, path):
+    """Ultralytics Conv block: {prefix}.conv.weight + {prefix}.bn.*"""
+    _set(params, path + ("Conv_0", "kernel"), _conv_kernel(sd[f"{prefix}.conv.weight"]))
+    _set(params, path + ("BatchNorm_0", "scale"), _to_np(sd[f"{prefix}.bn.weight"]))
+    _set(params, path + ("BatchNorm_0", "bias"), _to_np(sd[f"{prefix}.bn.bias"]))
+    _set(stats, path + ("BatchNorm_0", "mean"), _to_np(sd[f"{prefix}.bn.running_mean"]))
+    _set(stats, path + ("BatchNorm_0", "var"), _to_np(sd[f"{prefix}.bn.running_var"]))
+
+
+def _convert_bottleneck(sd, prefix, params, stats, path):
+    _convert_convbn(sd, f"{prefix}.cv1", params, stats, path + ("ConvBnSiLU_0",))
+    _convert_convbn(sd, f"{prefix}.cv2", params, stats, path + ("ConvBnSiLU_1",))
+
+
+def _convert_c2f(sd, prefix, params, stats, path):
+    _convert_convbn(sd, f"{prefix}.cv1", params, stats, path + ("ConvBnSiLU_0",))
+    n = 0
+    while f"{prefix}.m.{n}.cv1.conv.weight" in sd:
+        _convert_bottleneck(sd, f"{prefix}.m.{n}", params, stats,
+                            path + (f"Bottleneck_{n}",))
+        n += 1
+    _convert_convbn(sd, f"{prefix}.cv2", params, stats, path + ("ConvBnSiLU_1",))
+
+
+def _convert_sppf(sd, prefix, params, stats, path):
+    _convert_convbn(sd, f"{prefix}.cv1", params, stats, path + ("ConvBnSiLU_0",))
+    _convert_convbn(sd, f"{prefix}.cv2", params, stats, path + ("ConvBnSiLU_1",))
+
+
+def _convert_detect(sd, prefix, params, stats):
+    """Detect head: cv2[i] box branch, cv3[i] cls branch, per scale i."""
+    for i in range(3):
+        _convert_convbn(sd, f"{prefix}.cv2.{i}.0", params, stats,
+                        ("head", f"box{i}_conv0"))
+        _convert_convbn(sd, f"{prefix}.cv2.{i}.1", params, stats,
+                        ("head", f"box{i}_conv1"))
+        _set(params, ("head", f"box{i}_out", "kernel"),
+             _conv_kernel(sd[f"{prefix}.cv2.{i}.2.weight"]))
+        _set(params, ("head", f"box{i}_out", "bias"),
+             _to_np(sd[f"{prefix}.cv2.{i}.2.bias"]))
+
+        _convert_convbn(sd, f"{prefix}.cv3.{i}.0", params, stats,
+                        ("head", f"cls{i}_conv0"))
+        _convert_convbn(sd, f"{prefix}.cv3.{i}.1", params, stats,
+                        ("head", f"cls{i}_conv1"))
+        _set(params, ("head", f"cls{i}_out", "kernel"),
+             _conv_kernel(sd[f"{prefix}.cv3.{i}.2.weight"]))
+        _set(params, ("head", f"cls{i}_out", "bias"),
+             _to_np(sd[f"{prefix}.cv3.{i}.2.bias"]))
+    # dfl.conv is the fixed arange(16) expectation kernel — parameter-free
+    # in this implementation (dfl_decode), nothing to convert.
+
+
+def convert_torch_yolov8(state_dict) -> Tuple[Dict, Dict]:
+    """Ultralytics DetectionModel state_dict -> (params, batch_stats) trees
+    matching mcaq_yolo_tpu.models.YOLOv8 (and the backbone/neck/head subtrees
+    of MCAQYOLO)."""
+    if isinstance(state_dict, (str, bytes)):
+        import torch
+
+        obj = torch.load(state_dict, map_location="cpu", weights_only=False)
+        if isinstance(obj, dict) and "model" in obj and hasattr(obj["model"], "state_dict"):
+            obj = obj["model"].state_dict()
+        elif isinstance(obj, dict) and all(hasattr(v, "shape") for v in obj.values()):
+            pass
+        else:
+            raise ValueError(
+                "Unsupported checkpoint format — export a plain state_dict "
+                "(see module docstring)."
+            )
+        state_dict = obj
+
+    sd = {k.removeprefix("model.model.").removeprefix("model."): v
+          for k, v in state_dict.items()}
+    # now keys look like "0.conv.weight", "22.cv2.0.0.conv.weight", ...
+
+    params: Dict = {"backbone": {}, "neck": {}, "head": {}}
+    stats: Dict = {"backbone": {}, "neck": {}, "head": {}}
+
+    for idx, name in _BACKBONE_MAP.items():
+        prefix = str(idx)
+        if name.startswith("ConvBnSiLU"):
+            _convert_convbn(sd, prefix, params, stats, ("backbone", name))
+        elif name.startswith("C2f"):
+            _convert_c2f(sd, prefix, params, stats, ("backbone", name))
+        else:
+            _convert_sppf(sd, prefix, params, stats, ("backbone", name))
+
+    for idx, name in _NECK_MAP.items():
+        prefix = str(idx)
+        if name.startswith("ConvBnSiLU"):
+            _convert_convbn(sd, prefix, params, stats, ("neck", name))
+        else:
+            _convert_c2f(sd, prefix, params, stats, ("neck", name))
+
+    _convert_detect(sd, str(HEAD_IDX), params, stats)
+    return params, stats
+
+
+def load_pretrained_into(variables: Dict, state_dict) -> Dict:
+    """Overlay converted torch weights onto an initialized flax variables
+    tree (YOLOv8 or MCAQYOLO — shapes are validated leaf-by-leaf)."""
+    import jax.numpy as jnp
+
+    params, stats = convert_torch_yolov8(state_dict)
+
+    def overlay(dst, src, path=""):
+        out = dict(dst)
+        for k, v in src.items():
+            if k not in dst:
+                raise KeyError(f"converted key {path}/{k} missing in target tree")
+            if isinstance(v, dict):
+                out[k] = overlay(dst[k], v, f"{path}/{k}")
+            else:
+                if tuple(dst[k].shape) != tuple(v.shape):
+                    raise ValueError(
+                        f"shape mismatch at {path}/{k}: "
+                        f"{dst[k].shape} vs {v.shape}"
+                    )
+                out[k] = jnp.asarray(v, dst[k].dtype)
+        return out
+
+    new_vars = dict(variables)
+    new_vars["params"] = overlay(variables["params"], params)
+    if "batch_stats" in variables and variables["batch_stats"]:
+        new_vars["batch_stats"] = overlay(variables["batch_stats"], stats)
+    return new_vars

@@ -59,20 +59,23 @@ class YOLOv8Backbone(nn.Module):
     (reference models/mcaq_yolo.py:351-400)."""
 
     variant: str = "yolov8n"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False):
         d, w, mc = VARIANTS[self.variant]
-        x = ConvBnSiLU(_ch(64, w, mc), 3, 2)(x, training)       # 0: P1/2
-        x = ConvBnSiLU(_ch(128, w, mc), 3, 2)(x, training)      # 1: P2/4
-        x = C2f(_ch(128, w, mc), _n(3, d), True)(x, training)   # 2
-        x = ConvBnSiLU(_ch(256, w, mc), 3, 2)(x, training)      # 3: P3/8
-        c3 = C2f(_ch(256, w, mc), _n(6, d), True)(x, training)  # 4  -> C3
-        x = ConvBnSiLU(_ch(512, w, mc), 3, 2)(c3, training)     # 5: P4/16
-        c4 = C2f(_ch(512, w, mc), _n(6, d), True)(x, training)  # 6  -> C4
-        x = ConvBnSiLU(_ch(1024, w, mc), 3, 2)(c4, training)    # 7: P5/32
-        x = C2f(_ch(1024, w, mc), _n(3, d), True)(x, training)  # 8
-        c5 = SPPF(_ch(1024, w, mc))(x, training)                # 9  -> C5
+        dt = self.dtype
+        x = x.astype(dt)
+        x = ConvBnSiLU(_ch(64, w, mc), 3, 2, dtype=dt)(x, training)       # 0: P1/2
+        x = ConvBnSiLU(_ch(128, w, mc), 3, 2, dtype=dt)(x, training)      # 1: P2/4
+        x = C2f(_ch(128, w, mc), _n(3, d), True, dtype=dt)(x, training)   # 2
+        x = ConvBnSiLU(_ch(256, w, mc), 3, 2, dtype=dt)(x, training)      # 3: P3/8
+        c3 = C2f(_ch(256, w, mc), _n(6, d), True, dtype=dt)(x, training)  # 4  -> C3
+        x = ConvBnSiLU(_ch(512, w, mc), 3, 2, dtype=dt)(c3, training)     # 5: P4/16
+        c4 = C2f(_ch(512, w, mc), _n(6, d), True, dtype=dt)(x, training)  # 6  -> C4
+        x = ConvBnSiLU(_ch(1024, w, mc), 3, 2, dtype=dt)(c4, training)    # 7: P5/32
+        x = C2f(_ch(1024, w, mc), _n(3, d), True, dtype=dt)(x, training)  # 8
+        c5 = SPPF(_ch(1024, w, mc), dtype=dt)(x, training)                # 9  -> C5
         return c3, c4, c5
 
 
@@ -80,27 +83,32 @@ class YOLOv8Neck(nn.Module):
     """PAN feature pyramid: top-down then bottom-up, C2f fusion blocks."""
 
     variant: str = "yolov8n"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, c3, c4, c5, training: bool = False):
         d, w, mc = VARIANTS[self.variant]
+        dt = self.dtype
+        c3, c4, c5 = c3.astype(dt), c4.astype(dt), c5.astype(dt)
         # top-down
-        p4 = C2f(_ch(512, w, mc), _n(3, d), False)(
+        p4 = C2f(_ch(512, w, mc), _n(3, d), False, dtype=dt)(
             jnp.concatenate([upsample2x(c5), c4], axis=-1), training
         )  # 12
-        p3 = C2f(_ch(256, w, mc), _n(3, d), False)(
+        p3 = C2f(_ch(256, w, mc), _n(3, d), False, dtype=dt)(
             jnp.concatenate([upsample2x(p4), c3], axis=-1), training
         )  # 15 -> P3 out
         # bottom-up
-        n4 = C2f(_ch(512, w, mc), _n(3, d), False)(
+        n4 = C2f(_ch(512, w, mc), _n(3, d), False, dtype=dt)(
             jnp.concatenate(
-                [ConvBnSiLU(_ch(256, w, mc), 3, 2)(p3, training), p4], axis=-1
+                [ConvBnSiLU(_ch(256, w, mc), 3, 2, dtype=dt)(p3, training), p4],
+                axis=-1,
             ),
             training,
         )  # 18 -> P4 out
-        n5 = C2f(_ch(1024, w, mc), _n(3, d), False)(
+        n5 = C2f(_ch(1024, w, mc), _n(3, d), False, dtype=dt)(
             jnp.concatenate(
-                [ConvBnSiLU(_ch(512, w, mc), 3, 2)(n4, training), c5], axis=-1
+                [ConvBnSiLU(_ch(512, w, mc), 3, 2, dtype=dt)(n4, training), c5],
+                axis=-1,
             ),
             training,
         )  # 21 -> P5 out
@@ -118,6 +126,7 @@ class DetectHead(nn.Module):
 
     num_classes: int = 80
     variant: str = "yolov8n"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], training: bool = False):
@@ -135,23 +144,28 @@ class DetectHead(nn.Module):
             cls_prior = 5.0 / self.num_classes / ((640 / stride) ** 2)
             cls_bias = float(-math.log((1.0 - cls_prior) / cls_prior))
 
-            b = ConvBnSiLU(c_box, 3, name=f"box{i}_conv0")(f, training)
-            b = ConvBnSiLU(c_box, 3, name=f"box{i}_conv1")(b, training)
+            f = f.astype(self.dtype)
+            b = ConvBnSiLU(c_box, 3, name=f"box{i}_conv0", dtype=self.dtype)(f, training)
+            b = ConvBnSiLU(c_box, 3, name=f"box{i}_conv1", dtype=self.dtype)(b, training)
             b = nn.Conv(
                 4 * REG_MAX, (1, 1),
                 bias_init=nn.initializers.constant(1.0),
                 name=f"box{i}_out",
+                dtype=self.dtype, param_dtype=jnp.float32,
             )(b)
 
-            c = ConvBnSiLU(c_cls, 3, name=f"cls{i}_conv0")(f, training)
-            c = ConvBnSiLU(c_cls, 3, name=f"cls{i}_conv1")(c, training)
+            c = ConvBnSiLU(c_cls, 3, name=f"cls{i}_conv0", dtype=self.dtype)(f, training)
+            c = ConvBnSiLU(c_cls, 3, name=f"cls{i}_conv1", dtype=self.dtype)(c, training)
             c = nn.Conv(
                 self.num_classes, (1, 1),
                 bias_init=nn.initializers.constant(cls_bias),
                 name=f"cls{i}_out",
+                dtype=self.dtype, param_dtype=jnp.float32,
             )(c)
 
-            outs.append(jnp.concatenate([b, c], axis=-1))
+            # raw maps emitted in float32: the loss, DFL decode and KD
+            # targets are precision-sensitive
+            outs.append(jnp.concatenate([b, c], axis=-1).astype(jnp.float32))
         return outs
 
 
@@ -214,11 +228,12 @@ class YOLOv8(nn.Module):
 
     variant: str = "yolov8n"
     num_classes: int = 80
+    dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.backbone = YOLOv8Backbone(self.variant)
-        self.neck = YOLOv8Neck(self.variant)
-        self.head = DetectHead(self.num_classes, self.variant)
+        self.backbone = YOLOv8Backbone(self.variant, dtype=self.dtype)
+        self.neck = YOLOv8Neck(self.variant, dtype=self.dtype)
+        self.head = DetectHead(self.num_classes, self.variant, dtype=self.dtype)
 
     def __call__(self, x: jnp.ndarray, training: bool = False):
         c3, c4, c5 = self.backbone(x, training)

@@ -318,7 +318,8 @@ class Trainer:
         dummy = jnp.zeros((1, self.img_size, self.img_size, 3), jnp.float32)
         variables = self.model.init(rng, dummy, training=False)
         params = variables["params"]
-        params["bit_mapper"] = enforce_monotonic_params(params["bit_mapper"])
+        if "bit_mapper" in params:  # absent for the parameter-free linear mapper
+            params["bit_mapper"] = enforce_monotonic_params(params["bit_mapper"])
         self.state = TrainState.create(
             apply_fn=self.model.apply,
             params=params,

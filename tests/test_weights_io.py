@@ -1,0 +1,116 @@
+"""Torch->JAX converter round-trip: build a torch-style state_dict with the
+exact Ultralytics key layout from our own flax tree (inverse transforms),
+convert it back, and check bit-exact recovery + overlay success."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcaq_yolo_tpu.models import YOLOv8
+from mcaq_yolo_tpu.models.weights_io import (
+    _BACKBONE_MAP,
+    _NECK_MAP,
+    HEAD_IDX,
+    convert_torch_yolov8,
+    load_pretrained_into,
+)
+
+
+def _fake_torch_sd(variables):
+    """Inverse of the converter: emit Ultralytics-style keys from the flax
+    tree (random values already inside the tree)."""
+    sd = {}
+    p = variables["params"]
+    s = variables["batch_stats"]
+
+    def convbn(pp, ss, prefix):
+        sd[f"{prefix}.conv.weight"] = np.transpose(
+            np.asarray(pp["Conv_0"]["kernel"]), (3, 2, 0, 1)
+        )
+        sd[f"{prefix}.bn.weight"] = np.asarray(pp["BatchNorm_0"]["scale"])
+        sd[f"{prefix}.bn.bias"] = np.asarray(pp["BatchNorm_0"]["bias"])
+        sd[f"{prefix}.bn.running_mean"] = np.asarray(ss["BatchNorm_0"]["mean"])
+        sd[f"{prefix}.bn.running_var"] = np.asarray(ss["BatchNorm_0"]["var"])
+
+    def c2f(pp, ss, prefix):
+        convbn(pp["ConvBnSiLU_0"], ss["ConvBnSiLU_0"], f"{prefix}.cv1")
+        n = 0
+        while f"Bottleneck_{n}" in pp:
+            b = pp[f"Bottleneck_{n}"]
+            bs = ss[f"Bottleneck_{n}"]
+            convbn(b["ConvBnSiLU_0"], bs["ConvBnSiLU_0"], f"{prefix}.m.{n}.cv1")
+            convbn(b["ConvBnSiLU_1"], bs["ConvBnSiLU_1"], f"{prefix}.m.{n}.cv2")
+            n += 1
+        convbn(pp["ConvBnSiLU_1"], ss["ConvBnSiLU_1"], f"{prefix}.cv2")
+
+    for idx, name in _BACKBONE_MAP.items():
+        node_p, node_s = p["backbone"][name], s["backbone"][name]
+        if name.startswith("C2f"):
+            c2f(node_p, node_s, str(idx))
+        elif name.startswith("SPPF"):
+            convbn(node_p["ConvBnSiLU_0"], node_s["ConvBnSiLU_0"], f"{idx}.cv1")
+            convbn(node_p["ConvBnSiLU_1"], node_s["ConvBnSiLU_1"], f"{idx}.cv2")
+        else:
+            convbn(node_p, node_s, str(idx))
+
+    for idx, name in _NECK_MAP.items():
+        node_p, node_s = p["neck"][name], s["neck"][name]
+        if name.startswith("C2f"):
+            c2f(node_p, node_s, str(idx))
+        else:
+            convbn(node_p, node_s, str(idx))
+
+    for i in range(3):
+        hp, hs = p["head"], s["head"]
+        convbn(hp[f"box{i}_conv0"], hs[f"box{i}_conv0"], f"{HEAD_IDX}.cv2.{i}.0")
+        convbn(hp[f"box{i}_conv1"], hs[f"box{i}_conv1"], f"{HEAD_IDX}.cv2.{i}.1")
+        sd[f"{HEAD_IDX}.cv2.{i}.2.weight"] = np.transpose(
+            np.asarray(hp[f"box{i}_out"]["kernel"]), (3, 2, 0, 1)
+        )
+        sd[f"{HEAD_IDX}.cv2.{i}.2.bias"] = np.asarray(hp[f"box{i}_out"]["bias"])
+        convbn(hp[f"cls{i}_conv0"], hs[f"cls{i}_conv0"], f"{HEAD_IDX}.cv3.{i}.0")
+        convbn(hp[f"cls{i}_conv1"], hs[f"cls{i}_conv1"], f"{HEAD_IDX}.cv3.{i}.1")
+        sd[f"{HEAD_IDX}.cv3.{i}.2.weight"] = np.transpose(
+            np.asarray(hp[f"cls{i}_out"]["kernel"]), (3, 2, 0, 1)
+        )
+        sd[f"{HEAD_IDX}.cv3.{i}.2.bias"] = np.asarray(hp[f"cls{i}_out"]["bias"])
+    return sd
+
+
+def test_converter_roundtrip():
+    model = YOLOv8(variant="yolov8n", num_classes=80)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3), jnp.float32)
+    )
+    sd = _fake_torch_sd(variables)
+    # prefix variants must both be handled
+    sd_prefixed = {f"model.{k}": v for k, v in sd.items()}
+
+    params, stats = convert_torch_yolov8(sd_prefixed)
+
+    # overlay back onto the model and verify every converted leaf is exact
+    new_vars = load_pretrained_into(variables, sd)
+
+    def compare(a, b, path=""):
+        if isinstance(a, dict):
+            for k in a:
+                compare(a[k], b[k], f"{path}/{k}")
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=path
+            )
+
+    compare(params, {k: new_vars["params"][k] for k in ("backbone", "neck", "head")})
+    compare(variables["params"], new_vars["params"])  # roundtrip is identity
+
+
+def test_converter_shape_mismatch_detected():
+    model = YOLOv8(variant="yolov8n", num_classes=80)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3), jnp.float32)
+    )
+    sd = _fake_torch_sd(variables)
+    sd["0.conv.weight"] = np.zeros((7, 3, 3, 3), np.float32)  # wrong O
+    with pytest.raises(ValueError, match="shape mismatch"):
+        load_pretrained_into(variables, sd)
