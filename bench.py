@@ -39,8 +39,12 @@ def main():
     img = int(os.environ.get("BENCH_IMG", "640"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     warmup = int(os.environ.get("BENCH_WARMUP", "3"))
+    # bf16 network compute by default on TPU (fp32 metric pipeline either way)
+    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
-    model = MCAQYOLO(variant="yolov8n", num_classes=80, bit_mapping="mlp")
+    model = MCAQYOLO(variant="yolov8n", num_classes=80, bit_mapping="mlp",
+                     dtype=dtype)
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.random((batch, img, img, 3), np.float32))
     variables = model.init(jax.random.PRNGKey(0), images[:1], training=False)

@@ -107,10 +107,13 @@ _SOBEL_X = jnp.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]])
 _SOBEL_Y = jnp.array([[-1.0, -2.0, -1.0], [0.0, 0.0, 0.0], [1.0, 2.0, 1.0]])
 
 
-def sobel(gray: jnp.ndarray):
-    """3x3 Sobel gradients of (B, H, W), zero-padded (torch F.conv2d padding=1
-    semantics, matching the reference surrogate, reference morphology.py:386-395)."""
-    return conv2d_zero(gray, _SOBEL_X), conv2d_zero(gray, _SOBEL_Y)
+def sobel(gray: jnp.ndarray, mode: str = "zero"):
+    """3x3 Sobel gradients of (B, H, W).  mode 'zero' matches the reference
+    surrogate's torch F.conv2d padding=1 (reference morphology.py:386-395);
+    mode 'edge' approximates cv2.Sobel's reflect101 border (used by the
+    per-tile metric mode where borders occur at every tile)."""
+    conv = conv2d_replicate if mode == "edge" else conv2d_zero
+    return conv(gray, _SOBEL_X), conv(gray, _SOBEL_Y)
 
 
 # ---------------------------------------------------------------------------

@@ -64,18 +64,22 @@ def _canny_nms(mag: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray) -> jnp.ndarra
     return nms
 
 
-def canny_cv2compat(gray: jnp.ndarray, hysteresis_iters: int = 8) -> jnp.ndarray:
+def canny_cv2compat(gray: jnp.ndarray, hysteresis_iters: int = 8,
+                    pad_mode: str = "zero") -> jnp.ndarray:
     """Tensorized Canny replicating cv2's operator semantics
     (reference morphology.py:457-509): 0..255 intensity domain, 5x5 Gaussian
     blur sigma=1, Otsu on the blurred intensity, L1 gradient magnitude,
     4-direction NMS, double threshold (high=Otsu, low=0.5*Otsu), fixed-count
-    dilation-pass hysteresis.  gray: (B, H, W) in [0, 1] -> {0,1} float map."""
-    b01 = iops.gaussian_blur(gray, 5, 1.0, mode="zero")
+    dilation-pass hysteresis.  gray: (B, H, W) in [0, 1] -> {0,1} float map.
+
+    pad_mode 'edge' approximates cv2's reflect101 borders — used by the
+    per-tile metric mode, where every tile boundary is a border."""
+    b01 = iops.gaussian_blur(gray, 5, 1.0, mode=pad_mode)
     b255 = b01 * 255.0
 
     thr255 = iops.otsu_threshold(b01) * 255.0  # (B,1,1)
 
-    gx, gy = iops.sobel(b255)
+    gx, gy = iops.sobel(b255, mode=pad_mode)
     mag = jnp.abs(gx) + jnp.abs(gy)  # L1 (cv2.Canny default L2gradient=False)
 
     nms = _canny_nms(mag, gx, gy)
@@ -273,12 +277,23 @@ def contour_complexity_tiles(
 # ---------------------------------------------------------------------------
 
 
+def extract_tiles(gray: jnp.ndarray, tile: int):
+    """(B, Hc, Wc) -> (B*ht*wt, tile, tile) — a pure reshape/transpose that
+    turns the per-tile metric mode into plain batching over tiles."""
+    B, Hc, Wc = gray.shape
+    ht, wt = Hc // tile, Wc // tile
+    t = gray.reshape(B, ht, tile, wt, tile)
+    t = jnp.transpose(t, (0, 1, 3, 2, 4)).reshape(B * ht * wt, tile, tile)
+    return t, ht, wt
+
+
 def compute_phi_tiles(
     features: jnp.ndarray,
     grid_size: int = 8,
     canny_impl: str = "cv2compat",
     binarize_impl: str = "adaptive",
     contour_components: bool = True,
+    metric_mode: str = "tiled",
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Compute the 8-D per-tile morphological descriptor vector.
 
@@ -290,6 +305,17 @@ def compute_phi_tiles(
     the bf16 discipline keeps metric statistics full-precision even when
     the network runs bfloat16 (the TPU analogue of the reference's AMP
     guard, morphology.py:819-824).
+
+    metric_mode:
+      'tiled'  (default) — run every operator PER TILE (tile-local Otsu
+        thresholds, tile-local borders), matching the exact cv2 backend's
+        per-tile recipe (reference morphology.py:761-783).  Implemented as
+        plain batching over a (B*ht*wt, tile, tile) reshape — a fidelity
+        improvement over the reference's whole-image training surrogate,
+        whose edge-density scale diverged from cv2 (their measured r~0.5
+        pre-fix; whole-image Otsu vs per-tile Otsu is the dominant cause).
+      'global' — the reference surrogate's whole-image semantics
+        (reference morphology.py:826-873), kept for comparison/ablation.
     """
     B, H, W, C = features.shape
     tile = iops.tile_size_for(H, grid_size)
@@ -298,25 +324,48 @@ def compute_phi_tiles(
 
     feats = lax.stop_gradient(features.astype(jnp.float32))
     gray = feats[:, :Hc, :Wc, :].mean(axis=-1)  # (B, Hc, Wc)
-    gray = iops.normalize01(gray)
+    gray = iops.normalize01(gray)  # per-image (mirrors the uint8 conversion)
 
-    gx, gy = iops.sobel(gray)  # plain Sobel for phi3 (Eq.22)
+    if metric_mode == "tiled":
+        tiles, _, _ = extract_tiles(gray, tile)  # (B*ht*wt, tile, tile)
+        gx, gy = iops.sobel(tiles, mode="edge")  # tile-local borders
+        if canny_impl == "legacy":
+            edge = canny_legacy(tiles)
+        else:
+            edge = canny_cv2compat(tiles, pad_mode="edge")
+        binmask = (
+            otsu_binarize(tiles) if binarize_impl == "otsu"
+            else adaptive_binarize(tiles)
+        )
 
-    if canny_impl == "legacy":
-        edge = canny_legacy(gray)
+        def per_tile(x):  # (B*ht*wt, 1, 1) -> (B, ht, wt)
+            return x.reshape(B, ht, wt)
+
+        phi1 = per_tile(fractal_dimension_tiles(edge, tile)) / 2.0
+        phi2 = per_tile(lbp_entropy_tiles(tiles, tile))
+        phi3 = per_tile(gradient_variance_tiles(gx, gy, tile))
+        phi4 = per_tile(iops.avg_pool(edge, tile))
+        phi5 = per_tile(
+            contour_complexity_tiles(binmask, tile, contour_components)
+        )
     else:
-        edge = canny_cv2compat(gray)
+        gx, gy = iops.sobel(gray)  # plain Sobel for phi3 (Eq.22)
 
-    if binarize_impl == "otsu":
-        binmask = otsu_binarize(gray)
-    else:
-        binmask = adaptive_binarize(gray)
+        if canny_impl == "legacy":
+            edge = canny_legacy(gray)
+        else:
+            edge = canny_cv2compat(gray)
 
-    phi1 = fractal_dimension_tiles(edge, tile) / 2.0  # Df/2 in [0.5, 1]
-    phi2 = lbp_entropy_tiles(gray, tile)
-    phi3 = gradient_variance_tiles(gx, gy, tile)
-    phi4 = iops.avg_pool(edge, tile)  # Eq.(23) edge density
-    phi5 = contour_complexity_tiles(binmask, tile, contour_components)
+        if binarize_impl == "otsu":
+            binmask = otsu_binarize(gray)
+        else:
+            binmask = adaptive_binarize(gray)
+
+        phi1 = fractal_dimension_tiles(edge, tile) / 2.0  # Df/2 in [0.5, 1]
+        phi2 = lbp_entropy_tiles(gray, tile)
+        phi3 = gradient_variance_tiles(gx, gy, tile)
+        phi4 = iops.avg_pool(edge, tile)  # Eq.(23) edge density
+        phi5 = contour_complexity_tiles(binmask, tile, contour_components)
 
     # Algorithm 1 line 14: phi = [phi1..phi5, phi1*phi2, phi3^2, sqrt(phi4*phi5)]
     phi = jnp.stack(
@@ -415,6 +464,7 @@ class MorphologicalComplexityAnalyzer(nn.Module):
     canny_impl: str = "cv2compat"
     binarize_impl: str = "adaptive"
     contour_components: bool = True
+    metric_mode: str = "tiled"  # 'tiled' (cv2-parity, default) | 'global'
 
     def setup(self):
         self.complexity_mlp = ComplexityMLP()
@@ -429,6 +479,7 @@ class MorphologicalComplexityAnalyzer(nn.Module):
             canny_impl=self.canny_impl,
             binarize_impl=self.binarize_impl,
             contour_components=self.contour_components,
+            metric_mode=self.metric_mode,
         )
 
     def __call__(self, features: jnp.ndarray, return_detailed: bool = False):

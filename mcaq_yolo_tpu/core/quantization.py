@@ -83,6 +83,32 @@ def quantize_tensor(x, x_min, x_max, bits: int, training: bool = True):
 
 
 # ---------------------------------------------------------------------------
+# Learned rounding (reference quantization.py:121-165)
+# ---------------------------------------------------------------------------
+
+
+class LearnedRoundingQuantization(nn.Module):
+    """AdaRound-style learned rounding: interpolate floor/ceil with a
+    sigmoid-gated per-channel (or global) alpha.
+
+    EXPERIMENTAL / INFERENCE-ONLY — faithful to the reference's caveat
+    (quantization.py:121-130): the reference applies this only on the
+    non-training branch, so alpha never receives a gradient and stays at
+    sigmoid(0)=0.5 (plain midpoint interpolation).  Kept for API parity;
+    wiring it into training is future work there and here."""
+
+    num_channels: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        shape = (self.num_channels,) if self.num_channels else (1,)
+        alpha = self.param("alpha", nn.initializers.zeros, shape)
+        a = jax.nn.sigmoid(alpha)
+        x_floor = jnp.floor(x)
+        return x_floor + a * (jnp.ceil(x) - x_floor)
+
+
+# ---------------------------------------------------------------------------
 # Learned soft mask m(p) (paper Eq.19; reference quantization.py:168-239)
 # ---------------------------------------------------------------------------
 

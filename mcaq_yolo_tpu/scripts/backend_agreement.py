@@ -23,7 +23,7 @@ import numpy as np
 
 
 def run(images_dir=None, num_images: int = 16, img_size: int = 256,
-        legacy: bool = False, grid_size: int = 8):
+        legacy: bool = False, grid_size: int = 8, metric_mode: str = "tiled"):
     import jax
     import jax.numpy as jnp
     from scipy import stats
@@ -54,6 +54,7 @@ def run(images_dir=None, num_images: int = 16, img_size: int = 256,
             x, grid_size=grid_size, canny_impl=canny_impl,
             binarize_impl=binarize_impl,
             contour_components=not legacy,
+            metric_mode=metric_mode,
         )[1]
     )
 
@@ -74,7 +75,8 @@ def run(images_dir=None, num_images: int = 16, img_size: int = 256,
             gpu_vals[k].append(np.asarray(detailed_jax[k]).reshape(-1))
             cv2_vals[k].append(detailed_cv2[k].reshape(-1))
 
-    results = {"backend": canny_impl, "num_images": len(files)}
+    results = {"backend": canny_impl, "metric_mode": metric_mode,
+               "num_images": len(files)}
     fused_gpu, fused_cv2 = [], []
     alpha = np.ones(5) / 5.0
     for i, k in enumerate(gpu_vals):
@@ -105,11 +107,12 @@ def main(argv=None):
     parser.add_argument("--img-size", type=int, default=256)
     parser.add_argument("--grid-size", type=int, default=8)
     parser.add_argument("--legacy", action="store_true")
+    parser.add_argument("--mode", default="tiled", choices=["tiled", "global"])
     parser.add_argument("--json", default=None)
     args = parser.parse_args(argv)
 
     results = run(args.images, args.num, args.img_size, args.legacy,
-                  args.grid_size)
+                  args.grid_size, args.mode)
     out = json.dumps(results, indent=2)
     print(out)
     if args.json:

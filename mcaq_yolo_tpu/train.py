@@ -216,6 +216,13 @@ class Trainer:
             self.variant = f"yolov8{self.variant[-1]}"
 
         # ---- model ----
+        # amp: true -> bfloat16 network compute on TPU (the analogue of the
+        # reference's CUDA-only AMP gate, train.py:188-194); params, raw
+        # detect maps, the metric pipeline and calibration stats stay fp32.
+        amp = bool(config.get("training", {}).get("amp", True))
+        self.dtype = (
+            jnp.bfloat16 if (amp and jax.default_backend() == "tpu") else jnp.float32
+        )
         self.model = MCAQYOLO(
             variant=self.variant,
             num_classes=self.num_classes,
@@ -225,6 +232,7 @@ class Trainer:
             grid_size=int(qcfg.get("grid_size", 8)),
             bit_mapping=str(qcfg.get("bit_mapping", "mlp")),
             normalize_complexity=bool(qcfg.get("normalize_complexity", False)),
+            dtype=self.dtype,
         )
         self.loss_obj = MCAQYOLOLoss(self.num_classes,
                                      float(qcfg.get("target_bits", 4.0)))
@@ -406,6 +414,50 @@ class Trainer:
         from .core import morphology_cv2
 
         return lambda imgs: morphology_cv2.score_image_cv2(np.asarray(imgs))
+
+    def fit_feature_weights(self, max_batches: int = 16):
+        """Post-hoc Eq.(8) alpha refit (reference morphology.py:875-921):
+        NNLS-fit the feature_weights buffer to the TRAINED complexity MLP so
+        offline Eq.(8) sorting reflects the learned notion of complexity.
+        Call after training, before recomputing curriculum scores."""
+        from .core import morphology_cv2
+        from .core.morphology import compute_phi_tiles
+
+        variables = {
+            "params": jax.device_get(self.state.params),
+            "batch_stats": jax.device_get(self.state.batch_stats),
+            "quant_stats": jax.device_get(self.state.quant_stats),
+            "buffers": jax.device_get(self.state.buffers),
+        }
+
+        phi_fn = jax.jit(lambda x: compute_phi_tiles(x, self.model.grid_size)[0])
+        mlp_fn = jax.jit(
+            lambda v, p: self.model.apply(
+                v, p, method=lambda mdl, phi: mdl.complexity_analyzer
+                .complexity_mlp(phi.reshape(-1, 8))
+            )
+        )
+
+        phis, cs = [], []
+        for i, batch in enumerate(self.train_loader):
+            x = jnp.asarray(batch["image"])
+            phi = phi_fn(x)
+            c = mlp_fn(variables, phi)
+            phis.append(np.asarray(phi).reshape(-1, 8))
+            cs.append(np.asarray(c).reshape(-1))
+            if i + 1 >= max_batches:
+                break
+
+        alpha = morphology_cv2.fit_feature_weights(
+            np.concatenate(phis), np.concatenate(cs)
+        )
+        buffers = dict(jax.device_get(self.state.buffers))
+        analyzer_buf = dict(buffers.get("complexity_analyzer", {}))
+        analyzer_buf["feature_weights"] = jnp.asarray(alpha, jnp.float32)
+        buffers["complexity_analyzer"] = analyzer_buf
+        self.state = self.state.replace(buffers=buffers)
+        self.state = replicate(self.mesh, self.state)
+        return alpha
 
     def rescore_curriculum(self):
         """Re-score the dataset with the (trained) analyzer's Eq.8 weights."""

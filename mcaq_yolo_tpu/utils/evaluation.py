@@ -240,3 +240,57 @@ def analyze_complexity_correlation(
         "spearman_p": float(spearman[1]),
         "n": int(c.size),
     }
+
+
+def evaluate_quantization_impact(
+    forward_fp_fn, forward_q_fn, dataloader, max_batches: int = 16
+) -> Dict:
+    """Output divergence between the FP (quantize=False) and quantized
+    forwards (reference evaluation.py:310-341): per-image mean-squared
+    divergence of the raw detection maps, plus summary stats.
+
+    forward_*_fn(images) -> list of raw per-scale maps."""
+    import jax
+    import jax.numpy as jnp
+
+    divergences = []
+    for i, batch in enumerate(dataloader):
+        imgs = batch["image"]
+        fp = forward_fp_fn(imgs)
+        q = forward_q_fn(imgs)
+        per_img = sum(
+            jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2,
+                     axis=(1, 2, 3))
+            for a, b in zip(fp, q)
+        ) / len(fp)
+        divergences.extend(np.asarray(per_img).tolist())
+        if i + 1 >= max_batches:
+            break
+    d = np.asarray(divergences)
+    return {
+        "mean_divergence": float(d.mean()),
+        "std_divergence": float(d.std()),
+        "max_divergence": float(d.max()),
+        "per_image": d.tolist(),
+    }
+
+
+def quantization_sensitivity(
+    model_apply, variables, images, temperature: float = 0.1
+):
+    """Per-image sensitivity = divergence between the unquantized forward
+    and an aggressively quantized one (low alpha_t -> few bits), the quantity
+    correlated against complexity in analyze_complexity_correlation
+    (reference evaluation.py:342-427)."""
+    import jax.numpy as jnp
+
+    fp_maps = model_apply(variables, images, temperature=1.0, quantize=False,
+                          return_aux=False)
+    q_maps = model_apply(variables, images, temperature=temperature,
+                         quantize=True, return_aux=False)
+    per_img = sum(
+        jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2,
+                 axis=(1, 2, 3))
+        for a, b in zip(fp_maps, q_maps)
+    ) / len(fp_maps)
+    return per_img

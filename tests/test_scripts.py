@@ -1,0 +1,39 @@
+"""Unit tests for the analysis scripts' pure helpers."""
+
+import numpy as np
+
+from mcaq_yolo_tpu.scripts.m3_permutation import permute_bit_map
+from mcaq_yolo_tpu.scripts.m4_variation_gain import bootstrap_ci
+
+
+def test_permute_preserves_histogram():
+    rng = np.random.default_rng(0)
+    m = rng.integers(2, 9, (8, 8)).astype(np.float32)
+    for mode in ("mcaq", "permuted", "inverted"):
+        out = permute_bit_map(m, mode, seed=1)
+        assert sorted(out.reshape(-1)) == sorted(m.reshape(-1)), mode
+    np.testing.assert_array_equal(permute_bit_map(m, "mcaq", 0), m)
+
+
+def test_inverted_is_rank_inversion():
+    m = np.array([[2.0, 8.0], [4.0, 6.0]], np.float32)
+    inv = permute_bit_map(m, "inverted", 0)
+    # highest-bit tile gets the lowest bits
+    assert inv[np.unravel_index(np.argmax(m), m.shape)] == 2.0
+    assert inv[np.unravel_index(np.argmin(m), m.shape)] == 8.0
+
+
+def test_permuted_is_seeded():
+    rng = np.random.default_rng(3)
+    m = rng.integers(2, 9, (6, 6)).astype(np.float32)
+    a = permute_bit_map(m, "permuted", seed=42)
+    b = permute_bit_map(m, "permuted", seed=42)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_bootstrap_ci():
+    vals = np.ones(50)
+    lo, hi = bootstrap_ci(vals, reps=100)
+    assert lo == hi == 1.0
+    lo, hi = bootstrap_ci(np.array([]), reps=10)
+    assert np.isnan(lo) and np.isnan(hi)
