@@ -208,7 +208,9 @@ class YOLODataset:
 
     # -- item --------------------------------------------------------------
 
-    def get_item(self, idx: int) -> Dict[str, np.ndarray]:
+    def _load_single(self, idx: int):
+        """One letterboxed image + unpadded labels:
+        (image f32 (S,S,3), boxes xyxy (n,4), classes (n,), scale, pad, hw)."""
         path = self.img_files[idx]
         img = self._read_image(path)
         orig_h, orig_w = img.shape[:2]
@@ -225,7 +227,6 @@ class YOLODataset:
             image_f32, scale, (px, py) = native_loader.letterbox_f32(
                 img, self.img_size
             )
-            lb = None
         else:
             lb, scale, (px, py) = letterbox(img, self.img_size)
             image_f32 = np.ascontiguousarray(lb, np.float32) / 255.0
@@ -241,6 +242,66 @@ class YOLODataset:
             ).astype(np.float32)
         else:
             boxes = np.zeros((0, 4), np.float32)
+        return image_f32, boxes, classes, scale, (px, py), (orig_h, orig_w)
+
+    def _mosaic(self, idx: int):
+        """4-image mosaic: place one image per quadrant around a random
+        center on a 2S x 2S canvas, then crop the S x S window at the
+        center.  Boxes are shifted/clipped; slivers (<2px a side) dropped."""
+        S = self.img_size
+        idxs = [idx] + [int(i) for i in self.rng.integers(0, len(self), 3)]
+        canvas = np.full((2 * S, 2 * S, 3), 114.0 / 255.0, np.float32)
+        mboxes, mclasses = [], []
+        cx = int(self.rng.integers(S // 2, 3 * S // 2))
+        cy = int(self.rng.integers(S // 2, 3 * S // 2))
+
+        offsets = [(cx - S, cy - S), (cx, cy - S), (cx - S, cy), (cx, cy)]
+        for (x0, y0), j in zip(offsets, idxs):
+            img, boxes, classes, _, _, _ = self._load_single(j)
+            # clip the placement to the canvas
+            sx0, sy0 = max(0, -x0), max(0, -y0)
+            dx0, dy0 = max(0, x0), max(0, y0)
+            w = min(S - sx0, 2 * S - dx0)
+            h = min(S - sy0, 2 * S - dy0)
+            if w <= 0 or h <= 0:
+                continue
+            canvas[dy0 : dy0 + h, dx0 : dx0 + w] = img[sy0 : sy0 + h, sx0 : sx0 + w]
+            if len(boxes):
+                b = boxes.copy()
+                b[:, [0, 2]] += x0
+                b[:, [1, 3]] += y0
+                mboxes.append(b)
+                mclasses.append(classes)
+
+        # crop the S x S window centered at the mosaic center
+        wx0 = int(np.clip(cx - S // 2, 0, S))
+        wy0 = int(np.clip(cy - S // 2, 0, S))
+        image = np.ascontiguousarray(canvas[wy0 : wy0 + S, wx0 : wx0 + S])
+
+        if mboxes:
+            boxes = np.concatenate(mboxes)
+            classes = np.concatenate(mclasses)
+            boxes[:, [0, 2]] = np.clip(boxes[:, [0, 2]] - wx0, 0, S)
+            boxes[:, [1, 3]] = np.clip(boxes[:, [1, 3]] - wy0, 0, S)
+            keep = ((boxes[:, 2] - boxes[:, 0]) >= 2.0) & (
+                (boxes[:, 3] - boxes[:, 1]) >= 2.0
+            )
+            boxes, classes = boxes[keep], classes[keep]
+        else:
+            boxes = np.zeros((0, 4), np.float32)
+            classes = np.zeros((0,), np.int32)
+        return image, boxes, classes
+
+    def get_item(self, idx: int) -> Dict[str, np.ndarray]:
+        path = self.img_files[idx]
+        if self.augment and self.rng.random() < self.mosaic_p:
+            image_f32, boxes, classes = self._mosaic(idx)
+            scale, (px, py) = 1.0, (0, 0)
+            orig_h = orig_w = self.img_size
+        else:
+            image_f32, boxes, classes, scale, (px, py), (orig_h, orig_w) = (
+                self._load_single(idx)
+            )
 
         if self.augment and self.rng.random() < self.hflip_p:
             image_f32 = np.ascontiguousarray(image_f32[:, ::-1])

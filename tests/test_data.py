@@ -79,3 +79,18 @@ def test_balanced_sampler():
     scores = np.linspace(0, 1, 20)
     order = create_complexity_balanced_sampler(scores, n_bins=4)
     assert sorted(order.tolist()) == list(range(20))
+
+
+def test_mosaic_augmentation(tiny_dataset):
+    """4-image mosaic: correct canvas size, boxes clipped inside, no slivers."""
+    ds_cfg = load_dataset_yaml(tiny_dataset)
+    ds = YOLODataset(ds_cfg["train"], img_size=96, max_boxes=32,
+                     augment=True, mosaic_p=1.0, seed=3)
+    for i in range(4):
+        item = ds[i]
+        assert item["image"].shape == (96, 96, 3)
+        v = item["gt_boxes"][item["gt_mask"]]
+        if len(v):
+            assert v.min() >= 0 and v.max() <= 96
+            assert ((v[:, 2] - v[:, 0]) >= 2).all()
+            assert ((v[:, 3] - v[:, 1]) >= 2).all()
