@@ -308,7 +308,16 @@ class Trainer:
         self.schedule = schedule
 
         # ---- init params + device mesh ----
-        self.mesh = make_mesh()
+        # the data mesh must divide the batch: use gcd(batch, devices)
+        import math as _math
+
+        n_use = max(1, _math.gcd(self.batch_size, jax.device_count()))
+        self.mesh = make_mesh(n_use)
+        if n_use < jax.device_count():
+            print(
+                f"[MCAQ] data mesh uses {n_use}/{jax.device_count()} devices "
+                f"(batch {self.batch_size} must divide the mesh)"
+            )
         self._init_state()
 
         self.map_interval = max(
