@@ -43,7 +43,8 @@ def main():
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
-    model = MCAQYOLO(variant="yolov8n", num_classes=80, bit_mapping="mlp",
+    variant = os.environ.get("BENCH_VARIANT", "yolov8n")
+    model = MCAQYOLO(variant=variant, num_classes=80, bit_mapping="mlp",
                      dtype=dtype)
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.random((batch, img, img, 3), np.float32))
@@ -68,7 +69,7 @@ def main():
 
     imgs_per_sec = batch * iters / dt
     result = {
-        "metric": "yolov8n_mcaq_infer_640_images_per_sec_per_chip",
+        "metric": f"{variant}_mcaq_infer_640_images_per_sec_per_chip",
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(imgs_per_sec / PAPER_FPS_BASELINE, 3),

@@ -40,7 +40,12 @@ def bootstrap_ci(values: np.ndarray, reps: int = 2000, seed: int = 0):
 
 def run(model_path: str, data_yaml: str, img_size: int = 640,
         num_classes: int = 80, variant: str = "yolov8n",
-        batch_size: int = 4, reps: int = 2000, figure: str = None):
+        batch_size: int = 4, reps: int = 2000, figure: str = None,
+        model_uniform: str = None):
+    """model_uniform: optional SECOND checkpoint trained with uniform bits —
+    the reference's two-checkpoint protocol (spatial-trained vs
+    uniform-trained).  Without it, the uniform arm reuses the spatial
+    model with per-image constant bit maps (single-checkpoint variant)."""
     import jax
     import jax.numpy as jnp
     from scipy import stats
@@ -54,6 +59,12 @@ def run(model_path: str, data_yaml: str, img_size: int = 640,
     pred = Predictor(model_path, num_classes=num_classes, variant=variant,
                      img_size=img_size, warmup=False)
     model, variables = pred.model, pred.variables
+
+    uniform_variables = variables
+    if model_uniform:
+        pred_u = Predictor(model_uniform, num_classes=num_classes,
+                           variant=variant, img_size=img_size, warmup=False)
+        uniform_variables = pred_u.variables
 
     ds_cfg = load_dataset_yaml(data_yaml)
     ds = YOLODataset(ds_cfg["val"], img_size, augment=False)
@@ -99,7 +110,7 @@ def run(model_path: str, data_yaml: str, img_size: int = 640,
             uni_maps.append(jnp.asarray(
                 np.broadcast_to(means[:, None, None], m.shape).copy()
             ))
-        det_u = jax.device_get(forward_uniform(variables, images, uni_maps))
+        det_u = jax.device_get(forward_uniform(uniform_variables, images, uni_maps))
         preds_u = detections_to_numpy(*det_u)
 
         c0 = np.asarray(c_maps[0])  # P3-scale complexity
@@ -155,12 +166,15 @@ def main(argv=None):
     parser.add_argument("--variant", default="yolov8n")
     parser.add_argument("--batch-size", type=int, default=4)
     parser.add_argument("--reps", type=int, default=2000)
+    parser.add_argument("--model-uniform", default=None,
+                        help="optional uniform-trained checkpoint (reference's two-ckpt protocol)")
     parser.add_argument("--json", default=None)
     parser.add_argument("--figure", default=None)
     args = parser.parse_args(argv)
 
     summary = run(args.model, args.data, args.img_size, args.num_classes,
-                  args.variant, args.batch_size, args.reps, args.figure)
+                  args.variant, args.batch_size, args.reps, args.figure,
+                  args.model_uniform)
     out = json.dumps(summary, indent=2)
     print(out)
     if args.json:
