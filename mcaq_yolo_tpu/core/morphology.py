@@ -432,11 +432,13 @@ class ComplexityMLP(nn.Module):
 
     @nn.compact
     def __call__(self, phi: jnp.ndarray) -> jnp.ndarray:  # (..., 8) -> (..., 1)
+        # epsilon 1e-5 matches torch.nn.LayerNorm's default (flax's is 1e-6)
+        # so converted checkpoints and the parity harness agree numerically.
         x = nn.Dense(64)(phi)
-        x = nn.LayerNorm()(x)
+        x = nn.LayerNorm(epsilon=1e-5)(x)
         x = nn.relu(x)
         x = nn.Dense(32)(x)
-        x = nn.LayerNorm()(x)
+        x = nn.LayerNorm(epsilon=1e-5)(x)
         x = nn.relu(x)
         # xavier_uniform with gain g == variance_scaling(g^2, fan_avg, uniform)
         x = nn.Dense(

@@ -23,7 +23,13 @@ BN_EPS = 1e-3
 
 
 class ConvBnSiLU(nn.Module):
-    """Conv2D (SAME) + BatchNorm + SiLU — YOLOv8's 'Conv' block.
+    """Conv2D + BatchNorm + SiLU — YOLOv8's 'Conv' block.
+
+    Padding is the explicit symmetric (k//2, k//2) that torch's autopad
+    (Ultralytics Conv, `autopad(k) = k // 2`) uses — NOT XLA 'SAME', which
+    for stride-2 k=3 on even inputs pads (0, 1) and would shift every
+    downsample feature map by one pixel relative to converted torch weights.
+    Output shapes are identical for the k/stride combos YOLOv8 uses.
 
     `dtype` is the compute dtype (bfloat16 on TPU for MXU throughput);
     parameters and BN statistics stay float32 (`param_dtype`)."""
@@ -36,11 +42,12 @@ class ConvBnSiLU(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
+        pad = self.kernel // 2
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding="SAME",
+            padding=((pad, pad), (pad, pad)),
             use_bias=False,
             dtype=self.dtype,
             param_dtype=jnp.float32,

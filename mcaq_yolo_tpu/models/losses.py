@@ -119,10 +119,22 @@ def task_aligned_assign(
     candidate = in_gts & gt_valid[:, :, None]
     align = jnp.where(candidate, align, 0.0)
 
-    # top-k per gt over anchors (static k)
-    topk_vals, _ = jax.lax.top_k(align, topk)  # (B, M, topk)
-    kth = topk_vals[..., -1:]  # (B, M, 1)
-    mask_topk = (align >= jnp.maximum(kth, eps)) & (align > 0)
+    # strict top-k per gt over anchors (static k): scatter the selected
+    # indices rather than thresholding on the kth value, which would admit
+    # extra anchors on exact ties — matches the reference assigner's exact
+    # top-k scatter semantics.
+    topk_vals, topk_idx = jax.lax.top_k(align, topk)  # (B, M, topk)
+    sel = (topk_vals > eps).astype(align.dtype)  # drop zero-align padding
+    mask_topk = (
+        jnp.zeros_like(align)
+        .at[
+            jnp.arange(B)[:, None, None],
+            jnp.arange(M)[None, :, None],
+            topk_idx,
+        ]
+        .add(sel)
+        > 0
+    )
     mask_pos = mask_topk & candidate  # (B, M, A)
 
     # conflict resolution: anchor claimed by multiple gts -> max overlap wins

@@ -127,10 +127,12 @@ def convert_torch_yolov8(state_dict) -> Tuple[Dict, Dict]:
     if isinstance(state_dict, (str, bytes)):
         import torch
 
-        obj = torch.load(state_dict, map_location="cpu", weights_only=False)
-        if isinstance(obj, dict) and "model" in obj and hasattr(obj["model"], "state_dict"):
-            obj = obj["model"].state_dict()
-        elif isinstance(obj, dict) and all(hasattr(v, "shape") for v in obj.values()):
+        # weights_only=True: plain state_dicts load fine and an untrusted
+        # .pt can otherwise execute arbitrary code via pickle.  Full
+        # Ultralytics pickles (which embed class objects) are unsupported
+        # either way — they can't unpickle without ultralytics installed.
+        obj = torch.load(state_dict, map_location="cpu", weights_only=True)
+        if isinstance(obj, dict) and all(hasattr(v, "shape") for v in obj.values()):
             pass
         else:
             raise ValueError(

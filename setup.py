@@ -14,6 +14,7 @@ setup(
         "YOLO, JAX/Flax/Pallas-native (arXiv:2511.12976)"
     ),
     packages=find_packages(include=["mcaq_yolo_tpu", "mcaq_yolo_tpu.*"]),
+    py_modules=["bench"],
     python_requires=">=3.10",
     install_requires=[
         "jax", "flax", "optax", "numpy", "pyyaml",
