@@ -185,12 +185,16 @@ class SpatialAdaptiveQuantization(nn.Module):
     per_channel: bool = True
     momentum: float = 0.99
     histogram_bins: int = 2048
-    # Eval-path backend: 'auto' | 'pallas' | 'jnp'.  Measured on v5e at the
-    # yolov8n/640 shapes, XLA's fused static 7-plane compose (644us, 163GB/s
-    # effective) beats the hand-written single-pass Pallas kernel (1348us —
-    # the lane-1 per-pixel scalar maps waste 127/128 lanes), so 'auto'
-    # selects the XLA path; the Pallas kernel stays available for explicit
-    # use and carries the parity contract vs the XLA reference.
+    # Eval-path backend: 'auto' | 'pallas' | 'jnp'.  Measured on v5e
+    # (sync-corrected timing, bs=32, f32, fori-chained — see
+    # scripts/bench_quant_kernel.py) the standalone op is layout-wall bound
+    # (~118GB/s copy ceiling at C=64 from lane padding); the single-pass
+    # XLA formulation (_compose_integer) is the fastest arm standalone
+    # (843us vs 1073us 7-plane vs ~1270us Pallas v3 at yolov8n-P3) AND the
+    # only one XLA can fuse into the producing conv / consuming neck ops,
+    # so 'auto' selects it.  The Pallas kernel (ops/pallas_quant.py, v3
+    # plane-hoisted) matches the 7-plane compose and carries the
+    # CUDA-kernel parity contract; select it explicitly with 'pallas'.
     backend: str = "auto"
 
     @nn.compact
@@ -393,16 +397,33 @@ class SpatialAdaptiveQuantization(nn.Module):
 
     def _compose_integer(self, x, bit_map, x_min, x_max):
         """Inference path: single integer bit width per tile
-        (reference quantization.py:729-738), static over 2..8."""
+        (reference quantization.py:729-738).
+
+        SINGLE-PASS formulation: expand the tile bit map to pixel
+        resolution, derive the per-pixel quantization constants with exact
+        f32 arithmetic (2^b is exact; scale keeps the reference's literal
+        division order so the result is BITWISE identical to the static
+        7-plane compose / the PyTorch per-unique-bit path — the torch
+        parity harness asserts <=1e-6 on this), and quantize in one
+        elementwise pass.  ~4x fewer VPU ops than the 7-plane compose, and
+        — unlike a pallas_call — XLA fuses it into the producing/consuming
+        ops, eliminating the HBM round trip in the model graph (measured
+        standalone at yolov8n-P3/640 bs=32: 843us vs 1073us 7-plane vs
+        1270us Pallas v3; all three sit on the same C=64 lane-padding
+        layout wall, so fusability is the deciding factor)."""
         H, W = x.shape[1:3]
         bits_r = jnp.clip(jnp.round(bit_map), MIN_BITS, MAX_BITS)
-        qs = self._per_bit_quantize(x, x_min, x_max, training=False)
-        x_q = jnp.zeros_like(x)
-        for b in range(MIN_BITS, MAX_BITS + 1):
-            sel = (bits_r == b).astype(x.dtype)
-            sel_up = iops.upsample_nearest(sel, (H, W))[..., None]
-            x_q = x_q + sel_up * qs[b]
-        return x_q
+        # same expansion operator as the plane composes use for `sel`
+        b_pix = iops.upsample_nearest(bits_r, (H, W))[..., None]  # (B,H,W,1)
+        half = jnp.exp2(b_pix - 1.0)   # 2^(b-1), exact in f32
+        qmin = -half
+        d = 2.0 * half - 1.0           # qmax - qmin = 2^b - 1, exact
+        qmax = qmin + d
+        x_range = jnp.clip(x_max - x_min, 1e-8, None)      # (C,)
+        scale = x_range / d            # literal reference division order
+        zp = jnp.clip(qmin - x_min / scale, qmin, qmax)
+        q = jnp.clip(jnp.round(x / scale + zp), qmin, qmax)
+        return (q - zp) * scale
 
 
 # ---------------------------------------------------------------------------

@@ -29,7 +29,12 @@ def _find_lib() -> Optional[ctypes.CDLL]:
     ]
     for c in candidates:
         if c and c.exists():
-            lib = ctypes.CDLL(str(c))
+            try:
+                lib = ctypes.CDLL(str(c))
+            except OSError:
+                # stale / ABI-incompatible build (e.g. -march=native from
+                # another host) — fall back to the Python path
+                continue
             lib.mcaq_letterbox_f32.restype = ctypes.c_float
             lib.mcaq_letterbox_f32.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,

@@ -10,31 +10,39 @@ read + one HBM write of the feature map.
 Kernel design (deliberately different from the CUDA formulation):
   * The CUDA kernel gathers `bit_map[tile_idx]` and computes scale/zp per
     PIXEL (pow/div per element, mcaq_kernel.cu:48-79).  Gathers and
-    per-element transcendentals are poison on the VPU; instead the
-    per-(bit, channel) scale/zp table (7 x C — tiny) is precomputed OUTSIDE
-    the kernel, the tile bit map is expanded to a pixel-resolution int32 map
-    by XLA (a fused repeat, with the CUDA kernel's remainder-pixels-to-last-
-    tile clamping), and the kernel statically loops over the 7 bit widths,
-    mask-selecting each plane: 7 vectorized VPU passes over a VMEM block,
-    zero gathers, zero division (reciprocals precomputed).
-  * Grid is (B, row-blocks): each program handles a (block_h, W, C) slab in
-    VMEM (block_h chosen so the slab fits comfortably), so the kernel
-    streams the feature map at HBM speed-of-light.
+    per-element transcendentals are poison on the VPU.
+  * v1 of this kernel moved the 7-way bit dispatch INTO the kernel as a
+    compare-select loop over (1, bh, W, 1) scalar maps.  Lane-width-1
+    arrays waste 127/128 VPU lanes, so those "cheap" maps cost ~8x the
+    actual quantize arithmetic (measured 1348us vs the XLA fallback's
+    644us at yolov8n/640 — see BENCH_r01 / VERDICT round 1).
+  * v2 hoisted the bit dispatch out as three (B, H, W, 1) f32 planes —
+    but a block whose LANE dimension is 1 inflates its DMA and VMEM
+    footprint ~128x (each (8,128) vreg tile carries one useful lane), so
+    the planes cost more bandwidth than the feature map itself (measured
+    2054us vs the XLA compose's 1126us at yolov8n-P3/640, bs=32).
+  * v3 (this version) keeps the plane hoist but ships the planes as 3-D
+    (B, H, W) arrays blocked (1, bh, W): lane dim = W, no inflation.  The
+    kernel reshapes each plane to (1, bh, W, 1) ONCE per block — a tiny
+    bh*W-element relayout — after which every use is a per-sublane scalar
+    broadcast against the (1, bh, W, C) feature slab, which Mosaic lowers
+    natively.  The kernel body is a single ~14-op/element streaming pass:
+    memory-bound, not lane-starved.  Extra HBM traffic: 12 bytes/pixel of
+    planes vs 8*C bytes/pixel of feature I/O (~5% at C=64).
 
 A pure-jnp/XLA reference (`spatial_quantize_reference`) implements identical
-math; the parity test (tests/test_pallas_quant.py) mirrors the reference's
-CUDA-vs-PyTorch parity contract (reference tests/test_smoke.py:226-246).
+math via the static 7-plane compose; the parity test
+(tests/test_pallas_quant.py) mirrors the reference's CUDA-vs-PyTorch parity
+contract (reference tests/test_smoke.py:226-246).
 """
 
 from __future__ import annotations
 
-import math
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -52,9 +60,9 @@ def precompute_qparams(x_min: jnp.ndarray, x_max: jnp.ndarray):
     """Per-(bit, channel) quantization parameters.
 
     x_min/x_max: (C,) calibration range.  Returns (scale, inv_scale, zp),
-    each (N_BITS, C) float32 — 7 x C is a few KB, computed once per call by
-    XLA (the analogue of folding the per-pixel scale/zp math out of the
-    CUDA kernel's hot loop)."""
+    each (N_BITS, C) float32 — 7 x C is a few KB.  Not consumed by the v2
+    kernel (which re-derives scale/zp from the qmin/d planes in-register)
+    but kept as the table-building API for export paths."""
     bits = jnp.arange(MIN_BITS, MAX_BITS + 1, dtype=jnp.float32).reshape(-1, 1)
     scale, zp = compute_scale_zeropoint(x_min[None, :], x_max[None, :], bits)
     return scale.astype(jnp.float32), (1.0 / scale).astype(jnp.float32), zp.astype(jnp.float32)
@@ -76,30 +84,43 @@ def expand_bit_indices(bit_map: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
     return idx[:, ri][:, :, ci]
 
 
+def _qparam_planes(bit_map: jnp.ndarray, H: int, W: int):
+    """Pixel-resolution per-bit scalar planes, computed by XLA.
+
+    Returns (qmin, d, inv_d), each (B, H, W) float32 (3-D on purpose — see
+    the layout note in the module docstring):
+        qmin_b  = -2^(b-1)
+        d_b     = qmax_b - qmin_b = 2^b - 1
+        inv_d_b = 1 / d_b
+    2^b and 2^(b-1) are exact in f32, and 1/d is a single correctly-rounded
+    f32 division per pixel — identical values to the per-bit constants the
+    XLA reference uses, so the only parity slack left is the kernel's
+    reciprocal-multiply (documented in the parity contract)."""
+    b = (expand_bit_indices(bit_map, H, W) + MIN_BITS).astype(jnp.float32)
+    half = jnp.exp2(b - 1.0)          # 2^(b-1), exact
+    qmin = -half
+    d = 2.0 * half - 1.0              # 2^b - 1, exact
+    inv_d = 1.0 / d
+    return qmin, d, inv_d
+
+
 # ---------------------------------------------------------------------------
 # Kernel
 # ---------------------------------------------------------------------------
 
 
-def _quant_body(x, bits4, min_ref, max_ref):
-    """SINGLE-PASS per-pixel quantize/dequantize.
+def _quant_body(x, qmin, d, inv_d, min_ref, max_ref):
+    """Single streaming quantize/dequantize pass over a (1, bh, W, C) slab.
 
-    The naive formulation runs 7 full quantize passes and mask-selects
-    (what the XLA fallback does, and what this kernel's first version did).
-    The bit width only enters through three PER-PIXEL SCALARS — qmin_b,
-    qmax_b, and the level count d_b = qmax_b - qmin_b — so instead we build
-    three (1, bh, W, 1) scalar maps with 7 cheap compare-selects (lane-1
-    arrays, ~C x cheaper than feature-map passes) and run the quantize
-    arithmetic ONCE over the (1, bh, W, C) block:
+    qmin/d/inv_d arrive as (1, bh, W) blocks (lane = W) and are reshaped to
+    (1, bh, W, 1) once — after that every use is a per-sublane scalar
+    broadcast against the feature slab: no lane-1 vector arithmetic (the
+    v1 kernel's downfall) and no lane-1 DMA (v2's).
 
-        inv_s = d_pix / range_c          (broadcast (.., 1) x (C,))
-        zp    = clip(qmin_pix - x_min_c * inv_s, qmin_pix, qmax_pix)
-        q     = clip(round(x * inv_s + zp), qmin_pix, qmax_pix)
-        deq   = (q - zp) * range_c * (1/d)_pix
-
-    ~10 VPU ops per element instead of ~7x6.  bits4 is (1, bh, W, 1) int32 —
-    4-D already, so no boolean-vector reshapes (Mosaic cannot lower i1
-    reshapes).
+        inv_s = d * (1/range_c)                 (pixel x channel)
+        zp    = clip(qmin - x_min_c * inv_s, qmin, qmax)
+        q     = clip(round(x * inv_s + zp), qmin, qmax)
+        deq   = (q - zp) * range_c * inv_d
 
     Numerics note: reciprocal-multiply vs the reference path's division can
     flip round() at exact half-step boundaries; the parity contract vs the
@@ -109,52 +130,55 @@ def _quant_body(x, bits4, min_ref, max_ref):
     x_min = min_ref[0, :]  # (C,)
     x_max = max_ref[0, :]
     x_range = jnp.maximum(x_max - x_min, 1e-8)
-    inv_range = 1.0 / x_range  # (C,)
+    inv_range = 1.0 / x_range  # (C,) — one tiny divide per block
 
-    shape1 = bits4.shape
-    qmin_pix = jnp.zeros(shape1, jnp.float32)
-    d_pix = jnp.zeros(shape1, jnp.float32)
-    inv_d_pix = jnp.zeros(shape1, jnp.float32)
-    for b in range(N_BITS):
-        qmin_b = -(2.0 ** (b + MIN_BITS - 1))
-        qmax_b = 2.0 ** (b + MIN_BITS - 1) - 1.0
-        sel = (bits4 == b).astype(jnp.float32)
-        qmin_pix = qmin_pix + sel * qmin_b
-        d_pix = d_pix + sel * (qmax_b - qmin_b)
-        inv_d_pix = inv_d_pix + sel * (1.0 / (qmax_b - qmin_b))
-    qmax_pix = qmin_pix + d_pix
+    qmin = qmin[..., None]  # (1, bh, W) -> (1, bh, W, 1): one small relayout
+    d = d[..., None]
+    inv_d = inv_d[..., None]
 
-    inv_s = d_pix * inv_range            # (1, bh, W, C)
-    zp = jnp.clip(qmin_pix - x_min * inv_s, qmin_pix, qmax_pix)
-    q = jnp.clip(jnp.round(x * inv_s + zp), qmin_pix, qmax_pix)
-    return (q - zp) * (x_range * inv_d_pix)
+    qmax = qmin + d                                    # (1, bh, W, 1)
+    inv_s = d * inv_range                              # (1, bh, W, C)
+    zp = jnp.clip(qmin - x_min * inv_s, qmin, qmax)
+    q = jnp.clip(jnp.round(x * inv_s + zp), qmin, qmax)
+    return (q - zp) * (x_range * inv_d)
 
 
-def _quant_kernel(x_ref, bits_ref, min_ref, max_ref, out_ref):
+def _quant_kernel(x_ref, qmin_ref, d_ref, invd_ref, min_ref, max_ref, out_ref):
     x = x_ref[...].astype(jnp.float32)  # (1, bh, W, C)
-    out = _quant_body(x, bits_ref[...], min_ref, max_ref)
+    out = _quant_body(x, qmin_ref[...], d_ref[...], invd_ref[...],
+                      min_ref, max_ref)
     out_ref[...] = out.astype(out_ref.dtype)
 
 
-def _quant_kernel_masked(x_ref, bits_ref, min_ref, max_ref, mask_ref, out_ref):
+def _quant_kernel_masked(x_ref, qmin_ref, d_ref, invd_ref, min_ref, max_ref,
+                         mask_ref, out_ref):
     x = x_ref[...].astype(jnp.float32)
-    out = _quant_body(x, bits_ref[...], min_ref, max_ref)
-    out = out * mask_ref[...]  # Eq.(19) fused multiply, (1, bh, W, 1) f32
+    out = _quant_body(x, qmin_ref[...], d_ref[...], invd_ref[...],
+                      min_ref, max_ref)
+    # Eq.(19) fused multiply: (1, bh, W) -> (1, bh, W, 1) broadcast
+    out = out * mask_ref[...][..., None]
     out_ref[...] = out.astype(out_ref.dtype)
 
 
-def _pick_block_h(H: int, W: int, C: int, budget_bytes: int = 384 << 10) -> int:
-    """Rows per program, sized so the f32 slab stays ~384KB.
+def _pick_block_h(H: int, W: int, C: int, budget_bytes: int = 512 << 10) -> int:
+    """Rows per program, sized so the f32 slab stays ~512KB.
 
-    Mosaic double-buffers every pipelined operand AND keeps the unrolled
-    7-plane temporaries (q/deq/sel/out) on the vector stack, so the true
-    VMEM footprint is ~10x the slab — a 384KB slab lands well inside the
-    16MB scoped-vmem limit (a 1.6MB full-image slab OOMed at 18.75MB)."""
+    Mosaic double-buffers every pipelined operand and keeps ~4 full-size
+    temporaries (inv_s/zp/q/out) live, so the true VMEM footprint is ~8-9x
+    the slab — a 512KB slab lands well inside the 16MB scoped-vmem limit.
+
+    Constraint from the 3-D plane blocks (1, bh, W): Mosaic requires the
+    last two block dims to be 8/128-divisible or equal to the array dims,
+    so bh must divide H AND (bh % 8 == 0 or bh == H)."""
     rows = max(1, budget_bytes // max(1, W * C * 4))
     rows = min(rows, H)
-    while H % rows:  # require exact division for a clean grid
-        rows -= 1
-    return max(1, rows)
+    best = 0
+    for r in range(8, rows + 1, 8):
+        if H % r == 0:
+            best = r
+    if best:
+        return best
+    return H  # block dim == array dim is always legal
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -170,51 +194,51 @@ def spatial_quantize_pallas(
     B, H, W, C = x.shape
     x_min = jnp.broadcast_to(x_min.astype(jnp.float32).reshape(-1), (C,))
     x_max = jnp.broadcast_to(x_max.astype(jnp.float32).reshape(-1), (C,))
-    bits_pix = expand_bit_indices(bit_map, H, W)[..., None]  # (B, H, W, 1)
+    qmin_pix, d_pix, invd_pix = _qparam_planes(bit_map, H, W)
 
     bh = _pick_block_h(H, W, C)
     grid = (B, H // bh)
 
     x_spec = pl.BlockSpec((1, bh, W, C), lambda i, j: (i, j, 0, 0),
                           memory_space=pltpu.VMEM)
-    bits_spec = pl.BlockSpec((1, bh, W, 1), lambda i, j: (i, j, 0, 0),
-                             memory_space=pltpu.VMEM)
+    plane_spec = pl.BlockSpec((1, bh, W), lambda i, j: (i, j, 0),
+                              memory_space=pltpu.VMEM)
     tbl_spec = pl.BlockSpec((1, C), lambda i, j: (0, 0),
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, bh, W, C), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
 
     cost = pl.CostEstimate(
-        flops=7 * B * H * W * C * 5,
-        bytes_accessed=2 * B * H * W * C * 4 + B * H * W * 4,
+        flops=14 * B * H * W * C,
+        bytes_accessed=2 * B * H * W * C * 4 + 3 * B * H * W * 4,
         transcendentals=0,
     )
 
     if mask is not None:
-        if mask.ndim == 3:
-            mask = mask[..., None]  # (B, H, W, 1)
-        mask_spec = pl.BlockSpec((1, bh, W, 1), lambda i, j: (i, j, 0, 0),
-                                 memory_space=pltpu.VMEM)
+        if mask.ndim == 4:
+            mask = mask[..., 0]  # (B, H, W)
         return pl.pallas_call(
             _quant_kernel_masked,
             out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
             grid=grid,
-            in_specs=[x_spec, bits_spec, tbl_spec, tbl_spec, mask_spec],
+            in_specs=[x_spec, plane_spec, plane_spec, plane_spec,
+                      tbl_spec, tbl_spec, plane_spec],
             out_specs=out_spec,
             cost_estimate=cost,
             interpret=interpret,
-        )(x, bits_pix, x_min.reshape(1, C), x_max.reshape(1, C),
-          mask.astype(jnp.float32))
+        )(x, qmin_pix, d_pix, invd_pix,
+          x_min.reshape(1, C), x_max.reshape(1, C), mask.astype(jnp.float32))
 
     return pl.pallas_call(
         _quant_kernel,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=grid,
-        in_specs=[x_spec, bits_spec, tbl_spec, tbl_spec],
+        in_specs=[x_spec, plane_spec, plane_spec, plane_spec,
+                  tbl_spec, tbl_spec],
         out_specs=out_spec,
         cost_estimate=cost,
         interpret=interpret,
-    )(x, bits_pix, x_min.reshape(1, C), x_max.reshape(1, C))
+    )(x, qmin_pix, d_pix, invd_pix, x_min.reshape(1, C), x_max.reshape(1, C))
 
 
 # ---------------------------------------------------------------------------
