@@ -317,6 +317,10 @@ def compute_phi_tiles(
       'global' — the reference surrogate's whole-image semantics
         (reference morphology.py:826-873), kept for comparison/ablation.
     """
+    if jnp.issubdtype(features.dtype, jnp.integer):
+        # uint8 images from the data pipeline: normalize in-graph (the
+        # models do the same — the host ships integer batches)
+        features = features.astype(jnp.float32) / 255.0
     B, H, W, C = features.shape
     tile = iops.tile_size_for(H, grid_size)
     ht, wt = H // tile, W // tile

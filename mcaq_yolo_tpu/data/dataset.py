@@ -8,8 +8,10 @@ square, labels padded to `max_boxes` with a validity mask — so the jitted
 train/eval steps never recompile (SURVEY.md §7 'curriculum subset sampling
 vs jit').
 
-Layout is NHWC float32 in [0, 1].  Boxes are xyxy in letterboxed-image
-pixels.
+Layout is NHWC uint8 (0..255) — /255 normalization happens ON DEVICE (the
+models accept integer images and normalize in-graph, fusing into the first
+conv), which quarters host->device transfer and removes two host float
+passes.  Boxes are xyxy in letterboxed-image pixels.
 """
 
 from __future__ import annotations
@@ -123,11 +125,13 @@ def _label_path(img_path: str) -> str:
 
 
 class YOLODataset:
-    """YOLO-txt dataset with letterbox + light augmentation.
+    """YOLO-txt dataset with letterbox + reference-strength augmentation.
 
-    Augmentations (train mode): horizontal flip, HSV jitter, mosaic (4-image
-    stitch).  Scoring/val mode is augmentation-free (the curriculum scores
-    must be computed on clean images — reference train.py:376-397)."""
+    Augmentations (train mode): 4-image mosaic, random scale/translate
+    affine, horizontal flip, HSV jitter — the axis-aligned core of the
+    Ultralytics pipeline the reference trains through (reference
+    train.py:302-371).  Scoring/val mode is augmentation-free (curriculum
+    scores must be computed on clean images — reference train.py:376-397)."""
 
     def __init__(
         self,
@@ -138,6 +142,10 @@ class YOLODataset:
         hflip_p: float = 0.5,
         hsv_p: float = 0.5,
         mosaic_p: float = 0.0,
+        scale_jitter: float = 0.5,
+        translate: float = 0.1,
+        cache_images: bool = False,
+        cache_bytes: int = 2 << 30,
         seed: int = 0,
     ):
         self.img_dir = img_dir
@@ -147,6 +155,16 @@ class YOLODataset:
         self.hflip_p = hflip_p
         self.hsv_p = hsv_p
         self.mosaic_p = mosaic_p
+        self.scale_jitter = scale_jitter
+        self.translate = translate
+        # decoded-image RAM cache (the analogue of Ultralytics' cache=True,
+        # which the reference's dataloader exposes): images are re-decoded
+        # every epoch otherwise, and mosaic multiplies reads by 4 — on a
+        # single-core host decode dominates the epoch.  uint8 RGB, capped.
+        self.cache_images = cache_images
+        self.cache_bytes = int(cache_bytes)
+        self._img_cache: Dict[str, np.ndarray] = {}
+        self._cache_used = 0
         self.rng = np.random.default_rng(seed)
 
         self.img_files = sorted(
@@ -169,14 +187,23 @@ class YOLODataset:
     # -- raw IO -----------------------------------------------------------
 
     def _read_image(self, path: str) -> np.ndarray:
+        cached = self._img_cache.get(path)
+        if cached is not None:
+            return cached
         if HAS_CV2:
             img = cv2.imread(path)  # BGR
             if img is None:
                 raise IOError(f"failed to read {path}")
-            return img[..., ::-1]  # RGB
-        from PIL import Image
+            img = img[..., ::-1]  # RGB
+        else:
+            from PIL import Image
 
-        return np.asarray(Image.open(path).convert("RGB"))
+            img = np.asarray(Image.open(path).convert("RGB"))
+        if self.cache_images and self._cache_used + img.nbytes <= self.cache_bytes:
+            img = np.ascontiguousarray(img)
+            self._img_cache[path] = img
+            self._cache_used += img.nbytes
+        return img
 
     def _read_labels(self, img_path: str) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (boxes_xywhn (M, 4), classes (M,))."""
@@ -206,11 +233,42 @@ class YOLODataset:
         hsv[..., 2] = np.clip(hsv[..., 2] * gains[2], 0, 255)
         return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
 
+    def _affine(self, img: np.ndarray, boxes: np.ndarray, classes: np.ndarray):
+        """Random scale + translate in letterboxed space (the axis-aligned
+        core of Ultralytics' random_perspective with degrees=0/shear=0 —
+        reference train.py:302-371 trains through that pipeline).  Boxes are
+        scaled/shifted, clipped, slivers dropped."""
+        if not HAS_CV2:
+            return img, boxes, classes
+        S = self.img_size
+        s = 1.0 + float(self.rng.uniform(-self.scale_jitter, self.scale_jitter))
+        tx = float(self.rng.uniform(-self.translate, self.translate)) * S
+        ty = float(self.rng.uniform(-self.translate, self.translate)) * S
+        c = S / 2.0
+        M = np.array([[s, 0.0, c - s * c + tx],
+                      [0.0, s, c - s * c + ty]], np.float32)
+        img = cv2.warpAffine(
+            img, M, (S, S), flags=cv2.INTER_LINEAR,
+            borderValue=(114, 114, 114),
+        )
+        if len(boxes):
+            b = boxes.astype(np.float32).copy()
+            b[:, [0, 2]] = np.clip(b[:, [0, 2]] * s + M[0, 2], 0, S)
+            b[:, [1, 3]] = np.clip(b[:, [1, 3]] * s + M[1, 2], 0, S)
+            keep = ((b[:, 2] - b[:, 0]) >= 2.0) & ((b[:, 3] - b[:, 1]) >= 2.0)
+            boxes, classes = b[keep], classes[keep]
+        return np.ascontiguousarray(img), boxes, classes
+
     # -- item --------------------------------------------------------------
 
     def _load_single(self, idx: int):
         """One letterboxed image + unpadded labels:
-        (image f32 (S,S,3), boxes xyxy (n,4), classes (n,), scale, pad, hw)."""
+        (image uint8 (S,S,3), boxes xyxy (n,4), classes (n,), scale, pad, hw).
+
+        Images stay uint8 through the whole host pipeline; /255
+        normalization happens ON DEVICE (models normalize integer inputs),
+        where it fuses into the first conv — host float conversion cost and
+        4x of the host->device transfer disappear."""
         path = self.img_files[idx]
         img = self._read_image(path)
         orig_h, orig_w = img.shape[:2]
@@ -219,17 +277,17 @@ class YOLODataset:
         if self.augment and self.rng.random() < self.hsv_p:
             img = self._hsv_jitter(np.ascontiguousarray(img))
 
-        # native fused letterbox+normalize when the C++ library is built
-        # (make -C native); Python/cv2 path otherwise
+        # native letterbox when the C++ library is built (make -C native);
+        # Python/cv2 path otherwise
         from . import native_loader
 
-        if native_loader.available():
-            image_f32, scale, (px, py) = native_loader.letterbox_f32(
+        if native_loader.available_u8():
+            image_u8, scale, (px, py) = native_loader.letterbox_u8(
                 img, self.img_size
             )
         else:
-            lb, scale, (px, py) = letterbox(img, self.img_size)
-            image_f32 = np.ascontiguousarray(lb, np.float32) / 255.0
+            image_u8, scale, (px, py) = letterbox(img, self.img_size)
+            image_u8 = np.ascontiguousarray(image_u8, np.uint8)
 
         # xywhn (relative to original) -> xyxy in letterboxed pixels
         if len(boxes_n):
@@ -242,7 +300,7 @@ class YOLODataset:
             ).astype(np.float32)
         else:
             boxes = np.zeros((0, 4), np.float32)
-        return image_f32, boxes, classes, scale, (px, py), (orig_h, orig_w)
+        return image_u8, boxes, classes, scale, (px, py), (orig_h, orig_w)
 
     def _mosaic(self, idx: int):
         """4-image mosaic: place one image per quadrant around a random
@@ -250,7 +308,7 @@ class YOLODataset:
         center.  Boxes are shifted/clipped; slivers (<2px a side) dropped."""
         S = self.img_size
         idxs = [idx] + [int(i) for i in self.rng.integers(0, len(self), 3)]
-        canvas = np.full((2 * S, 2 * S, 3), 114.0 / 255.0, np.float32)
+        canvas = np.full((2 * S, 2 * S, 3), 114, np.uint8)
         mboxes, mclasses = [], []
         cx = int(self.rng.integers(S // 2, 3 * S // 2))
         cy = int(self.rng.integers(S // 2, 3 * S // 2))
@@ -295,22 +353,25 @@ class YOLODataset:
     def get_item(self, idx: int) -> Dict[str, np.ndarray]:
         path = self.img_files[idx]
         if self.augment and self.rng.random() < self.mosaic_p:
-            image_f32, boxes, classes = self._mosaic(idx)
+            image_u8, boxes, classes = self._mosaic(idx)
             scale, (px, py) = 1.0, (0, 0)
             orig_h = orig_w = self.img_size
         else:
-            image_f32, boxes, classes, scale, (px, py), (orig_h, orig_w) = (
+            image_u8, boxes, classes, scale, (px, py), (orig_h, orig_w) = (
                 self._load_single(idx)
             )
 
+        if self.augment and (self.scale_jitter > 0 or self.translate > 0):
+            image_u8, boxes, classes = self._affine(image_u8, boxes, classes)
+
         if self.augment and self.rng.random() < self.hflip_p:
-            image_f32 = np.ascontiguousarray(image_f32[:, ::-1])
+            image_u8 = np.ascontiguousarray(image_u8[:, ::-1])
             if len(boxes):
                 x1 = self.img_size - boxes[:, 2]
                 x2 = self.img_size - boxes[:, 0]
                 boxes[:, 0], boxes[:, 2] = x1.copy(), x2.copy()
 
-        image = image_f32
+        image = image_u8
 
         # pad labels to static max_boxes
         M = self.max_boxes

@@ -46,6 +46,17 @@ def _find_lib() -> Optional[ctypes.CDLL]:
             lib.mcaq_hflip_f32.argtypes = [
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int
             ]
+            try:
+                lib.mcaq_letterbox_u8.restype = ctypes.c_float
+                lib.mcaq_letterbox_u8.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int, ctypes.c_uint8,
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ]
+                lib.has_u8 = True
+            except AttributeError:  # older .so
+                lib.has_u8 = False
             _LIB = lib
             break
     return _LIB
@@ -75,6 +86,33 @@ def letterbox_f32(
         ctypes.byref(px), ctypes.byref(py),
     )
     return out, float(scale), (px.value, py.value)
+
+
+def letterbox_u8(
+    img: np.ndarray, out_size: int, pad_value: int = 114
+) -> Tuple[np.ndarray, float, Tuple[int, int]]:
+    """Letterbox keeping uint8 (normalization happens on-device): HxWx3
+    uint8 -> (S,S,3) uint8.  Identity-size inputs are a single memcpy."""
+    lib = _find_lib()
+    if lib is None or not getattr(lib, "has_u8", False):
+        raise RuntimeError("native dataio library not built (make -C native)")
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w = img.shape[:2]
+    out = np.empty((out_size, out_size, 3), np.uint8)
+    px = ctypes.c_int()
+    py = ctypes.c_int()
+    scale = lib.mcaq_letterbox_u8(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+        out_size, ctypes.c_uint8(pad_value),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(px), ctypes.byref(py),
+    )
+    return out, float(scale), (px.value, py.value)
+
+
+def available_u8() -> bool:
+    lib = _find_lib()
+    return lib is not None and getattr(lib, "has_u8", False)
 
 
 def hflip_f32(img: np.ndarray) -> np.ndarray:

@@ -151,8 +151,10 @@ class Predictor:
         return det + (aux["avg_bits"], aux["complexity_map"][0], aux["bit_map"][0])
 
     def preprocess(self, image: np.ndarray):
+        """Letterbox, keeping uint8 — /255 runs on-device (model-side
+        normalize guard), so host->device transfer is 4x smaller."""
         lb, scale, pad = letterbox(image, self.img_size)
-        return lb.astype(np.float32) / 255.0, scale, pad
+        return np.ascontiguousarray(lb, np.uint8), scale, pad
 
     def predict(self, image: np.ndarray, visualize: bool = False,
                 output_dir: Optional[str] = None) -> Dict:

@@ -29,7 +29,7 @@ from ..core.bit_allocation import (
 )
 from ..core.morphology import MorphologicalComplexityAnalyzer
 from ..core.quantization import SpatialAdaptiveQuantization
-from .yolo import DetectHead, YOLOv8Backbone, YOLOv8Neck
+from .yolo import DetectHead, YOLOv8Backbone, YOLOv8Neck, normalize_image
 
 
 class MCAQYOLO(nn.Module):
@@ -125,7 +125,7 @@ class MCAQYOLO(nn.Module):
         update_stats: Optional[bool] = None,
         return_aux: bool = True,
     ):
-        feats = self.backbone(x, training)
+        feats = self.backbone(normalize_image(x), training)
 
         feats_q, complexity_maps, bit_maps = [], [], []
         for i, f in enumerate(feats):
@@ -158,9 +158,9 @@ class MCAQYOLO(nn.Module):
     def backbone_features(self, x: jnp.ndarray, training: bool = False):
         """Unquantized backbone features — the student-side taps used for
         feature-level KD (compared against the teacher's)."""
-        return self.backbone(x, training)
+        return self.backbone(normalize_image(x), training)
 
     def score_image(self, x: jnp.ndarray) -> jnp.ndarray:
         """Deterministic Eq.(8) per-image complexity (Algorithm 3 line 1),
         computed on the input image — the offline dataset-scoring entry."""
-        return self.complexity_analyzer.score_image(x)
+        return self.complexity_analyzer.score_image(normalize_image(x))

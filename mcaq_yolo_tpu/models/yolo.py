@@ -24,6 +24,18 @@ from flax import linen as nn
 
 from .layers import C2f, ConvBnSiLU, SPPF, upsample2x
 
+
+def normalize_image(x: jnp.ndarray) -> jnp.ndarray:
+    """Accept uint8 (0..255) or float ([0,1]) images; normalize in-graph.
+
+    The data pipeline ships uint8 batches (4x smaller host->device
+    transfers); the /255 runs on device and XLA fuses it into the first
+    conv.  Float inputs pass through unchanged (tests / torch-parity
+    harnesses feed floats directly)."""
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        return x.astype(jnp.float32) / 255.0
+    return x
+
 # variant: (depth_mult, width_mult, max_channels)
 VARIANTS = {
     "yolov8n": (0.33, 0.25, 1024),
@@ -236,7 +248,7 @@ class YOLOv8(nn.Module):
         self.head = DetectHead(self.num_classes, self.variant, dtype=self.dtype)
 
     def __call__(self, x: jnp.ndarray, training: bool = False):
-        c3, c4, c5 = self.backbone(x, training)
+        c3, c4, c5 = self.backbone(normalize_image(x), training)
         p3, p4, p5 = self.neck(c3, c4, c5, training)
         return self.head([p3, p4, p5], training)
 
@@ -244,4 +256,4 @@ class YOLOv8(nn.Module):
         """Backbone features only — teacher-side feature KD taps
         (the reference registers teacher hooks at the student's backbone
         indices, train.py:225-236)."""
-        return self.backbone(x, training)
+        return self.backbone(normalize_image(x), training)

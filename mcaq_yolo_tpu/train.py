@@ -293,6 +293,9 @@ class Trainer:
             hflip_p=float(dcfg.get("hflip_p", 0.5)),
             hsv_p=float(dcfg.get("hsv_p", 0.5)),
             mosaic_p=float(dcfg.get("mosaic_p", 1.0)),
+            scale_jitter=float(dcfg.get("scale", 0.5)),
+            translate=float(dcfg.get("translate", 0.1)),
+            cache_images=bool(dcfg.get("cache", True)),
         )
         self.val_dataset = YOLODataset(
             val_dir, self.img_size, max_boxes, augment=False, seed=seed

@@ -169,3 +169,27 @@ def test_eq8_scoring_differs_from_edge_proxy(tiny_dataset):
         analyzer.apply(variables, x, method="score_image")
     )
     np.testing.assert_allclose(eq8, via_module, atol=1e-6)
+
+
+def test_affine_augmentation(tiny_dataset):
+    """Random scale/translate affine: canvas size preserved, boxes clipped
+    inside, no slivers, and the transform actually moves content."""
+    ds_cfg = load_dataset_yaml(tiny_dataset)
+    ds = YOLODataset(ds_cfg["train"], img_size=96, max_boxes=32,
+                     augment=True, mosaic_p=0.0, hflip_p=0.0, hsv_p=0.0,
+                     scale_jitter=0.5, translate=0.1, seed=5)
+    base = YOLODataset(ds_cfg["train"], img_size=96, max_boxes=32,
+                       augment=False)
+    moved = 0
+    for i in range(4):
+        item = ds[i]
+        ref = base[i]
+        assert item["image"].shape == (96, 96, 3)
+        v = item["gt_boxes"][item["gt_mask"]]
+        if len(v):
+            assert v.min() >= 0 and v.max() <= 96
+            assert ((v[:, 2] - v[:, 0]) >= 2).all()
+            assert ((v[:, 3] - v[:, 1]) >= 2).all()
+        if not np.array_equal(item["image"], ref["image"]):
+            moved += 1
+    assert moved >= 3, "affine should alter nearly every image"
