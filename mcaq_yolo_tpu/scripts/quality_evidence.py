@@ -28,13 +28,14 @@ from pathlib import Path
 
 
 def run(img_size=640, epochs=30, n_images=96, n_classes=8, batch_size=16,
-        variant="yolov8n", root="outputs/quality_evidence", seed=0):
+        variant="yolov8n", root="outputs/quality_evidence", seed=0,
+        kd_epochs=0):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from ..data.dataset import DataLoader, YOLODataset, make_synthetic_dataset
-    from ..train import Trainer
+    from ..train import Trainer, export_teacher_from_ckpt
     from ..utils.evaluation import evaluate_quantization_impact
 
     root = Path(root).resolve()  # dataset yaml stores paths relative to it
@@ -125,6 +126,36 @@ def run(img_size=640, epochs=30, n_images=96, n_classes=8, batch_size=16,
         "raw_map_divergence": div,
         "best_map50_during_training": train_res["best_map50"],
     }
+
+    if kd_epochs > 0:
+        # full reference KD workflow: export the trained detector as the
+        # FP32 teacher, then train a KD student (logit + feature
+        # distillation, reference train.py:83-94, 582-610)
+        ckpt = root / "train" / ("best.ckpt" if (root / "train" / "best.ckpt").exists() else "last.ckpt")
+        teacher_path = export_teacher_from_ckpt(
+            str(ckpt), str(root / "teacher.ckpt"), variant,
+            n_classes, img_size)
+        kd_config = dict(config)
+        kd_config["model"] = dict(config["model"], teacher_path=teacher_path)
+        kd_config["distillation"] = {"enabled": True}
+        kd_config["epochs"] = kd_epochs
+        kd_config["output_dir"] = str(root / "train_kd")
+        kd_config["curriculum"] = dict(
+            config["curriculum"],
+            warmup_epochs=max(2, kd_epochs // 6),
+            transition_epochs=max(4, kd_epochs // 2),
+        )
+        t1 = time.time()
+        kd_trainer = Trainer(kd_config)
+        kd_res = kd_trainer.train()
+        final = kd_trainer.history[-1] if kd_trainer.history else {}
+        table["kd_arm"] = {
+            "epochs": kd_epochs,
+            "best_map50": kd_res["best_map50"],
+            "final_avg_bits": final.get("avg_bits"),
+            "final_kd_loss": final.get("loss_kd"),
+            "wall_time_s": round(time.time() - t1, 1),
+        }
     return table
 
 
@@ -138,10 +169,12 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--root", default="outputs/quality_evidence")
     p.add_argument("--out", default=None)
+    p.add_argument("--kd-epochs", type=int, default=0,
+                   help="also run the teacher-export + KD-student stage")
     args = p.parse_args(argv)
     table = run(args.img_size, args.epochs, args.n_images,
                 batch_size=args.batch_size, variant=args.variant,
-                root=args.root, seed=args.seed)
+                root=args.root, seed=args.seed, kd_epochs=args.kd_epochs)
     s = json.dumps(table, indent=2, default=float)
     print(s)
     if args.out:

@@ -185,6 +185,30 @@ def make_eval_step(model: MCAQYOLO, num_classes: int,
     return eval_step
 
 
+def export_teacher_from_ckpt(ckpt_path: str, out_path: str,
+                             variant: str, num_classes: int,
+                             img_size: int = 640) -> str:
+    """Extract the detector (backbone/neck/head params + BN stats) from a
+    trained MCAQ checkpoint into a plain-YOLOv8 variables tree — the FP32
+    teacher format `Trainer` loads for KD (the reference loads an
+    Ultralytics-trained teacher, train.py:83-94; in this no-download env
+    the teacher is trained in-framework)."""
+    teacher = YOLOv8(variant, num_classes)
+    dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
+    template = teacher.init(jax.random.PRNGKey(0), dummy)
+    payload = serialization.msgpack_restore(Path(ckpt_path).read_bytes())
+    tvars = {
+        "params": {k: payload["params"][k]
+                   for k in ("backbone", "neck", "head")},
+        "batch_stats": {k: payload["batch_stats"][k]
+                        for k in template["batch_stats"]},
+    }
+    # template round-trip validates structure + shapes
+    tvars = serialization.from_bytes(template, serialization.to_bytes(tvars))
+    Path(out_path).write_bytes(serialization.to_bytes(tvars))
+    return out_path
+
+
 def make_val_loss_step(model: MCAQYOLO, loss_obj: MCAQYOLOLoss):
     """Per-epoch validation LOSS (reference train.py:712-775 computes val
     loss every epoch; NMS mAP runs on the map_interval cadence).  Eval-mode

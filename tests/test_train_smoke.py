@@ -108,3 +108,35 @@ def test_predict_batch_matches_single(trained):
         np.testing.assert_allclose(
             r1["bit_map"], rb["bit_map"], atol=1e-5
         )
+
+
+def test_teacher_export_and_kd_init(trained, tmp_path):
+    """export_teacher_from_ckpt produces a loadable FP32 teacher tree, and
+    a KD Trainer constructs with it (fail-fast path satisfied)."""
+    import numpy as np
+    from flax import serialization
+
+    from mcaq_yolo_tpu.train import export_teacher_from_ckpt
+
+    trainer, _, config = trained
+    ckpt = str(Path(config["output_dir"]) / "last.ckpt")
+    tpath = export_teacher_from_ckpt(
+        ckpt, str(tmp_path / "teacher.ckpt"), "yolov8n", 4, IMG)
+    assert Path(tpath).exists()
+
+    kd_cfg = dict(config)
+    kd_cfg["model"] = dict(config["model"], teacher_path=tpath)
+    kd_cfg["distillation"] = {"enabled": True}
+    kd_cfg["epochs"] = 1
+    kd_cfg["output_dir"] = str(tmp_path / "kd_out")
+    kd_trainer = Trainer(kd_cfg)
+    assert kd_trainer.teacher_vars is not None
+    # teacher params match the exported detector weights
+    import jax
+    tv = jax.device_get(kd_trainer.teacher_vars)
+    sv = jax.device_get(trainer.state.params)
+    leaf_t = np.asarray(
+        tv["params"]["backbone"]["ConvBnSiLU_0"]["Conv_0"]["kernel"])
+    leaf_s = np.asarray(
+        sv["backbone"]["ConvBnSiLU_0"]["Conv_0"]["kernel"])
+    np.testing.assert_array_equal(leaf_t, leaf_s)
