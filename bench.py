@@ -68,11 +68,32 @@ def _infer_imgs_per_sec(variant, batch, img, iters, dtype, backend="auto"):
 
     from mcaq_yolo_tpu.models import MCAQYOLO
 
-    model = MCAQYOLO(variant=variant, num_classes=80, bit_mapping="mlp",
+    ckpt = os.environ.get("BENCH_CKPT", "")
+    nc, bit_mapping = 80, "mlp"
+    if ckpt and os.path.exists(ckpt + ".json"):
+        import json as _json
+        meta = _json.loads(open(ckpt + ".json").read())
+        nc = int(meta.get("num_classes", nc))
+        qcfg = meta.get("config", {}).get("quantization", {})
+        bit_mapping = qcfg.get("bit_mapping", bit_mapping)
+    model = MCAQYOLO(variant=variant, num_classes=nc, bit_mapping=bit_mapping,
                      dtype=dtype, quant_backend=backend)
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.random((batch, img, img, 3), np.float32))
     variables = model.init(jax.random.PRNGKey(0), images[:1], training=False)
+    if ckpt and os.path.exists(ckpt):
+        # bench a TRAINED checkpoint (frozen EMA calibration, trained bit
+        # mapper — the deployed quant-path branches) instead of random init
+        from flax import serialization
+
+        payload = serialization.msgpack_restore(open(ckpt, "rb").read())
+        variables = {
+            k: payload.get(k, variables.get(k, {}))
+            for k in ("params", "batch_stats", "quant_stats", "buffers")
+        }
+        # commit to device once — numpy leaves would otherwise be
+        # re-transferred on EVERY jitted call (10x slowdown on the tunnel)
+        variables = jax.device_put(variables)
 
     @jax.jit
     def forward(variables, images):
