@@ -90,9 +90,11 @@ def arms(ref_quant_cls):
     tmodel.eval()
     sd = ultralytics_state_dict(tmodel)
 
+    # smooth_transitions=True: the DEPLOYED configuration — the Eq.19 soft
+    # mask participates in both arms (weights converted below)
     model = MCAQYOLO(
         variant="yolov8n", num_classes=NC, bit_mapping="linear",
-        smooth_transitions=False, calibration_mode="minmax",
+        smooth_transitions=True, calibration_mode="minmax",
     )
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, IMG, IMG, 3), jnp.float32),
@@ -121,9 +123,21 @@ def arms(ref_quant_cls):
     with torch.no_grad():
         c3, c4, c5 = tmodel.backbone_features(x_cal)
     ref_quants = []
-    for feat in (c3, c4, c5):
-        q = ref_quant_cls(per_channel=True, smooth_transitions=False)
+    for i, feat in enumerate((c3, c4, c5)):
+        q = ref_quant_cls(per_channel=True, smooth_transitions=True)
         q.eval()
+        # convert our soft-mask conv weights into the reference module so
+        # the Eq.19 mask is identical in both arms (flax (kh,kw,in,out) ->
+        # torch (out,in,kh,kw); same mapping the bitwise harness validates)
+        mp = variables["params"][f"quantizer_p{i + 3}"]["soft_mask"]
+        with torch.no_grad():
+            for tconv, name in ((q.soft_mask.net[0], "Conv_0"),
+                                (q.soft_mask.net[2], "Conv_1")):
+                tconv.weight.copy_(torch.from_numpy(np.ascontiguousarray(
+                    np.transpose(np.asarray(mp[name]["kernel"]),
+                                 (3, 2, 0, 1)))))
+                tconv.bias.copy_(torch.from_numpy(
+                    np.asarray(mp[name]["bias"])))
         q.update_running_stats(feat)
         q.freeze_calibration()
         ref_quants.append(q)
