@@ -38,16 +38,11 @@ V5E_BF16_PEAK_TFLOPS = 197.0
 
 
 def _sync(out):
-    """jax.block_until_ready is a NO-OP on the tunneled 'axon' TPU platform
-    (measured: an 8192^3 matmul "completed" in 36us = 150x chip peak).  A
-    1-element device->host fetch is a reliable barrier: the device stream
-    is in-order, so fetching from the last output syncs every queued
-    execution."""
-    import jax
-    import numpy as np
+    """Shared host-fetch barrier (jax.block_until_ready is a NO-OP on the
+    tunneled 'axon' TPU platform — see mcaq_yolo_tpu/utils/sync.py)."""
+    from mcaq_yolo_tpu.utils.sync import sync
 
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf[(0,) * leaf.ndim])
+    sync(out)
 
 
 def _throughput(fn, args, batch, iters, warmup=2):

@@ -23,6 +23,7 @@ import argparse
 import json
 import os
 import time
+import warnings
 from functools import partial
 from pathlib import Path
 from typing import Any, Dict, Optional
@@ -654,10 +655,11 @@ class Trainer:
         weights = self.curriculum.get_loss_weights(epoch)
         target_bits = self.curriculum.get_target_bits(epoch)
         variables = self._variables()
-        total, n = 0.0, 0
+        total, n, n_skipped = 0.0, 0, 0
         for batch in self.val_loader:
             if batch["image"].shape[0] != self.batch_size:
-                continue  # keep one compiled shape; ragged tail skipped
+                n_skipped += 1  # keep one compiled shape; ragged tail skipped
+                continue
             b = {k: jnp.asarray(v) for k, v in batch.items() if k != "paths"}
             total += float(jax.device_get(self.val_loss_step(
                 variables, b, jnp.float32(temp), jnp.float32(target_bits),
@@ -667,6 +669,17 @@ class Trainer:
                 quantize=stage >= 2,
             )))
             n += 1
+        if n_skipped and n == 0:
+            warnings.warn(
+                f"compute_val_loss: ALL {n_skipped} val batches were ragged "
+                f"(< batch_size={self.batch_size}) and skipped — returning "
+                "0.0. Use a val set with >= batch_size images or a smaller "
+                "batch_size.", stacklevel=2)
+        elif n_skipped:
+            warnings.warn(
+                f"compute_val_loss: skipped {n_skipped} ragged val "
+                f"batch(es) to keep one compiled shape; loss averaged over "
+                f"{n} full batches.", stacklevel=2)
         return total / max(1, n)
 
     def evaluate(self, epoch: int) -> Dict[str, float]:

@@ -7,7 +7,9 @@ the TPU-native equivalents here:
 
   * `trace(...)`: jax.profiler trace context writing a TensorBoard-viewable
     xplane capture of device + host activity.
-  * `timed(...)`: block_until_ready-bracketed steady-state timing.
+  * `timed(...)`: steady-state timing bracketed by a 1-element host-fetch
+    barrier (utils.sync) — jax.block_until_ready is a no-op on the
+    tunneled TPU platform, so it must never be used for timing here.
   * `component_breakdown(...)`: per-component latency attribution for the
     MCAQ forward (backbone / morphology / bit-map / quantize / neck+head) by
     timing jitted sub-programs — the question 'where do the milliseconds
@@ -23,6 +25,8 @@ from typing import Callable, Dict
 import jax
 import jax.numpy as jnp
 
+from .sync import sync
+
 
 @contextlib.contextmanager
 def trace(log_dir: str = "/tmp/mcaq_trace"):
@@ -35,13 +39,13 @@ def trace(log_dir: str = "/tmp/mcaq_trace"):
 
 
 def timed(fn: Callable, *args, iters: int = 50, warmup: int = 3) -> float:
-    """Steady-state seconds/call with block_until_ready bracketing."""
+    """Steady-state seconds/call bracketed by the host-fetch barrier."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     return (time.perf_counter() - t0) / iters
 
 
