@@ -621,3 +621,184 @@ def make_synthetic_dataset(
         f"nc: {n_classes}\nnames:\n{names}\n"
     )
     return str(yaml_path)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic dataset v2 — class IS a function of appearance (VERDICT r2 #1)
+# ---------------------------------------------------------------------------
+
+# 8 classes = 4 shapes x {solid, textured}; each class also has a fixed
+# color family so classification is robustly learnable.
+_V2_SHAPES = ("circle", "square", "triangle", "cross")
+_V2_PALETTE = np.array(
+    [
+        [220, 60, 60],    # 0 circle/solid      red
+        [60, 200, 220],   # 1 circle/textured   cyan
+        [60, 200, 80],    # 2 square/solid      green
+        [230, 180, 50],   # 3 square/textured   yellow
+        [70, 90, 230],    # 4 triangle/solid    blue
+        [230, 120, 200],  # 5 triangle/textured pink
+        [240, 240, 240],  # 6 cross/solid       white
+        [150, 90, 40],    # 7 cross/textured    brown
+    ],
+    np.float32,
+)
+
+
+def _v2_shape_mask(shape: str, hh: int, ww: int) -> np.ndarray:
+    """Boolean (hh, ww) mask of the shape inside its bounding box."""
+    y, x = np.mgrid[0:hh, 0:ww].astype(np.float32)
+    cy, cx = (hh - 1) / 2.0, (ww - 1) / 2.0
+    if shape == "circle":
+        return ((y - cy) / (hh / 2.0)) ** 2 + ((x - cx) / (ww / 2.0)) ** 2 <= 1.0
+    if shape == "square":
+        return np.ones((hh, ww), bool)
+    if shape == "triangle":  # apex at top-center, base at the bottom
+        t = y / max(hh - 1, 1)
+        return np.abs(x - cx) <= t * (ww / 2.0)
+    if shape == "cross":
+        arm_y = np.abs(y - cy) <= hh / 6.0
+        arm_x = np.abs(x - cx) <= ww / 6.0
+        return (arm_y & (np.abs(x - cx) <= ww / 2.0)) | (
+            arm_x & (np.abs(y - cy) <= hh / 2.0)
+        )
+    raise ValueError(shape)
+
+
+def _v2_texture(cls: int, hh: int, ww: int, rng) -> np.ndarray:
+    """(hh, ww) in [0, 1]: per-pixel intensity modulation.  Solid classes
+    are flat (complexity only at the silhouette edge); textured classes get
+    a high-frequency pattern (stripes / checker / dots / noise by shape) so
+    tile complexity concentrates on them."""
+    if cls % 2 == 0:  # solid family
+        return np.ones((hh, ww), np.float32)
+    y, x = np.mgrid[0:hh, 0:ww].astype(np.float32)
+    kind = cls // 2
+    period = max(3, min(hh, ww) // 8)
+    if kind == 0:  # stripes
+        pat = ((x // period) % 2).astype(np.float32)
+    elif kind == 1:  # checker
+        pat = (((x // period) + (y // period)) % 2).astype(np.float32)
+    elif kind == 2:  # dots
+        pat = (((x % (2 * period)) < period) & ((y % (2 * period)) < period)
+               ).astype(np.float32)
+    else:  # binarized noise
+        pat = (rng.random((hh, ww)) < 0.5).astype(np.float32)
+    return 0.35 + 0.65 * pat
+
+
+def make_synthetic_dataset_v2(
+    root: str,
+    n_images: int = 256,
+    img_size: int = 640,
+    n_val: int = 64,
+    seed: int = 0,
+    objects_per_image: Tuple[int, int] = (1, 4),
+    distractor_patches: Tuple[int, int] = (1, 3),
+) -> str:
+    """Class-learnable, spatially-heterogeneous synthetic detection dataset
+    (VERDICT r2 item 1 — the v1 generator drew class labels independent of
+    appearance, ceiling mAP near 1/nc).
+
+    Properties:
+      * class = f(appearance): 8 classes = 4 shapes x {solid, textured},
+        each with a fixed color family (+/- brightness jitter) — a detector
+        can actually learn classification, so mAP deltas between arms are
+        meaningful.
+      * spatial complexity heterogeneity: backgrounds are smooth low-contrast
+        gradients (low tile complexity); textured objects and a few
+        low-contrast distractor texture patches create high-complexity tiles
+        — so the morphology pipeline sees a non-flat C(x) map and the MLP
+        bit mapper has signal to allocate spatially.
+      * separate train/val splits (disjoint draws from the same generator).
+
+    Returns the dataset.yaml path."""
+    rng = np.random.default_rng(seed)
+    from PIL import Image
+
+    root_p = Path(root)
+    counts = {"train": n_images, "val": n_val}
+    for split, n in counts.items():
+        img_dir = root_p / "images" / split
+        lbl_dir = root_p / "labels" / split
+        img_dir.mkdir(parents=True, exist_ok=True)
+        lbl_dir.mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            # smooth gradient background (flat complexity)
+            g0, g1 = rng.uniform(40, 110, 2)
+            ang = rng.uniform(0, 2 * np.pi)
+            y, x = np.mgrid[0:img_size, 0:img_size].astype(np.float32)
+            t = (np.cos(ang) * x + np.sin(ang) * y) / (np.sqrt(2) * img_size)
+            base = g0 + (g1 - g0) * (t - t.min()) / max(float(np.ptp(t)), 1e-6)
+            img = np.repeat(base[..., None], 3, axis=2)
+            img += rng.normal(0, 2.0, img.shape)  # sensor-ish noise floor
+
+            # low-contrast distractor texture patches (unlabeled): create
+            # high-complexity background tiles so C(x) varies off-object too
+            for _ in range(int(rng.integers(distractor_patches[0],
+                                            distractor_patches[1] + 1))):
+                pw = int(rng.uniform(0.1, 0.25) * img_size)
+                ph = int(rng.uniform(0.1, 0.25) * img_size)
+                py = int(rng.uniform(0, img_size - ph))
+                px = int(rng.uniform(0, img_size - pw))
+                patch = rng.normal(0, 14.0, (ph, pw, 1))
+                img[py : py + ph, px : px + pw] += patch
+
+            # objects: rejection-sample non-overlapping boxes
+            n_obj = int(rng.integers(objects_per_image[0],
+                                     objects_per_image[1] + 1))
+            placed: List[Tuple[int, int, int, int]] = []
+            lines = []
+            for _ in range(n_obj):
+                for _attempt in range(20):
+                    w = rng.uniform(0.18, 0.42)
+                    h = rng.uniform(0.18, 0.42)
+                    cx = rng.uniform(w / 2 + 0.02, 0.98 - w / 2)
+                    cy = rng.uniform(h / 2 + 0.02, 0.98 - h / 2)
+                    x1 = int((cx - w / 2) * img_size)
+                    y1 = int((cy - h / 2) * img_size)
+                    x2 = int((cx + w / 2) * img_size)
+                    y2 = int((cy + h / 2) * img_size)
+                    if all(
+                        x2 <= a or x1 >= b or y2 <= c or y1 >= d
+                        for (a, b, c, d) in placed
+                    ):
+                        break
+                else:
+                    continue
+                placed.append((x1, x2, y1, y2))
+                cls = int(rng.integers(0, 8))
+                hh, ww = y2 - y1, x2 - x1
+                mask = _v2_shape_mask(_V2_SHAPES[cls // 2], hh, ww)
+                tex = _v2_texture(cls, hh, ww, rng)
+                color = _V2_PALETTE[cls] * rng.uniform(0.8, 1.15)
+                region = img[y1:y2, x1:x2]
+                fill = color[None, None, :] * tex[..., None]
+                region[mask] = fill[mask]
+                # tight bbox of the actual silhouette
+                ys, xs = np.where(mask)
+                bx1, bx2 = x1 + xs.min(), x1 + xs.max() + 1
+                by1, by2 = y1 + ys.min(), y1 + ys.max() + 1
+                bcx = (bx1 + bx2) / 2 / img_size
+                bcy = (by1 + by2) / 2 / img_size
+                bw = (bx2 - bx1) / img_size
+                bh = (by2 - by1) / img_size
+                lines.append(f"{cls} {bcx:.6f} {bcy:.6f} {bw:.6f} {bh:.6f}")
+
+            img_u8 = np.clip(img, 0, 255).astype(np.uint8)
+            Image.fromarray(img_u8).save(img_dir / f"img_{i:04d}.png")
+            (lbl_dir / f"img_{i:04d}.txt").write_text(
+                "\n".join(lines) + ("\n" if lines else "")
+            )
+        rng = np.random.default_rng(seed + 104729 * (1 + hash(split) % 97))
+
+    yaml_path = root_p / "dataset.yaml"
+    names = "\n".join(
+        f"  {i}: {_V2_SHAPES[i // 2]}_{'textured' if i % 2 else 'solid'}"
+        for i in range(8)
+    )
+    yaml_path.write_text(
+        f"path: {root}\ntrain: images/train\nval: images/val\n"
+        f"nc: 8\nnames:\n{names}\n"
+    )
+    return str(yaml_path)

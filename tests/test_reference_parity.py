@@ -547,3 +547,208 @@ def test_ste_gradient_parity(ref, rng):
     g2 = jax.grad(
         lambda v: ste_round(ste_clamp(v, -1.0, 1.0)).sum())(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(g2), np.ones_like(x), atol=0, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# Training loss surface — reference models/mcaq_yolo.py:39-215 (VERDICT r2 #5)
+#
+# The detection term is EXCLUDED: the reference delegates it to Ultralytics'
+# v8DetectionLoss, which is not installable here; our native DetectionLoss
+# (fixed-shape TAL + CIoU + DFL) is covered by tests/test_losses.py and the
+# e2e detection/mAP parity harness (tests/test_e2e_mcaq_parity.py).  These
+# tests cover the MCAQ-specific Eq.20 terms — Lbit, Lsmooth, LKD, Lreg —
+# their weighted assembly, and the bit-mapper gradient through the training
+# loss surface, with shared weights and shared inputs.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_loss_mod(ref):
+    """Import the reference's models.mcaq_yolo with Ultralytics stubbed
+    (only v8DetectionLoss/YOLO/DEFAULT_CFG are touched at import; the
+    detection path is never exercised by these tests)."""
+    if "ultralytics" not in sys.modules:
+        u = types.ModuleType("ultralytics")
+        u.YOLO = object
+        uu = types.ModuleType("ultralytics.utils")
+        uul = types.ModuleType("ultralytics.utils.loss")
+
+        class _V8DetectionLossStub:
+            def __init__(self, model):
+                pass
+
+        uul.v8DetectionLoss = _V8DetectionLossStub
+        uc = types.ModuleType("ultralytics.cfg")
+        uc.DEFAULT_CFG = types.SimpleNamespace()
+        u.utils = uu
+        uu.loss = uul
+        sys.modules.update({
+            "ultralytics": u, "ultralytics.utils": uu,
+            "ultralytics.utils.loss": uul, "ultralytics.cfg": uc,
+        })
+    import importlib
+
+    return importlib.import_module("mcaq_yolo.models.mcaq_yolo")
+
+
+def test_loss_smoothness_parity(ref_loss_mod, rng):
+    """Lsmooth (per-edge mean TV, averaged over scales) — reference
+    models/mcaq_yolo.py:86-107."""
+    from mcaq_yolo_tpu.models.losses import smoothness_loss
+
+    ref_obj = ref_loss_mod.MCAQYOLOLoss(model=None)
+    maps = [rng.uniform(2, 8, (2, s, s)).astype(np.float32)
+            for s in (10, 5, 3)]
+
+    theirs = ref_obj.compute_smoothness_loss([_t(m) for m in maps])
+    ours = smoothness_loss([m for m in maps])
+    np.testing.assert_allclose(float(ours), float(theirs), atol=1e-6, rtol=0)
+
+    # single 2-D map promotion path
+    theirs2 = ref_obj.compute_smoothness_loss(_t(maps[0][0]))
+    ours2 = smoothness_loss(maps[0][0])
+    np.testing.assert_allclose(float(ours2), float(theirs2), atol=1e-6, rtol=0)
+
+
+def test_loss_bit_budget_and_kd_parity(ref_loss_mod, rng):
+    """Lbit = (avg_bits - target)^2 and LKD = mean MSE over matched raw maps
+    with shape-mismatch skip — reference models/mcaq_yolo.py:39-56,109-118."""
+    from mcaq_yolo_tpu.models.losses import bit_budget_loss, kd_logit_loss
+
+    ref_obj = ref_loss_mod.MCAQYOLOLoss(model=None)
+
+    for avg, tgt in [(5.3, 4.0), (4.0, 4.0), (2.7, 6.0)]:
+        theirs = ref_obj.compute_bit_budget_loss(torch.tensor(avg), tgt)
+        ours = bit_budget_loss(np.float32(avg), tgt)
+        np.testing.assert_allclose(float(ours), float(theirs), atol=1e-6, rtol=0)
+
+    # KD: 3 matched scales + 1 shape-mismatched scale that must be skipped
+    s_maps = [rng.normal(size=(2, s, s, 10)).astype(np.float32)
+              for s in (8, 4, 2)] + [np.zeros((2, 3, 3, 6), np.float32)]
+    t_maps = [m + rng.normal(scale=0.1, size=m.shape).astype(np.float32)
+              for m in s_maps[:3]] + [np.zeros((2, 3, 3, 7), np.float32)]
+
+    theirs = ref_loss_mod.kd_logit_loss(
+        [_t(m) for m in s_maps], [_t(m) for m in t_maps])
+    ours = kd_logit_loss(s_maps, t_maps)
+    np.testing.assert_allclose(float(ours), float(theirs), atol=1e-6, rtol=0)
+
+
+def test_loss_reg_and_total_assembly_parity(ref_loss_mod, ref, rng):
+    """Lreg (weight matrices only, dim > 1) with SHARED mapper weights, and
+    the full Eq.20 weighted assembly through the reference's forward
+    (detection term pinned to 0 on both sides) — reference
+    models/mcaq_yolo.py:120-215."""
+    import jax.numpy as jnp
+
+    from mcaq_yolo_tpu.core.bit_allocation import ComplexityToBitMappingNetwork
+    from mcaq_yolo_tpu.models.losses import (
+        bit_budget_loss, kd_logit_loss, mapper_l2, smoothness_loss)
+
+    torch.manual_seed(7)
+    their_mapper = ref.b.ComplexityToBitMappingNetwork(min_bits=2, max_bits=8)
+
+    c = rng.random((2, 8, 8), dtype=np.float32)
+    ours = ComplexityToBitMappingNetwork(min_bits=2, max_bits=8)
+    variables = ours.init({"params": np.zeros(2, np.uint32)}, c)
+    variables = _inject_mlp_weights(their_mapper, variables)
+
+    # --- Lreg: weight matrices only (reference :191-202)
+    ref_obj = ref_loss_mod.MCAQYOLOLoss(model=None)
+    loss_reg_t = torch.zeros(())
+    for p in their_mapper.parameters():
+        if p.requires_grad and p.dim() > 1:
+            loss_reg_t = loss_reg_t + p.pow(2).sum()
+    loss_reg_j = mapper_l2(variables["params"])
+    np.testing.assert_allclose(float(loss_reg_j), float(loss_reg_t),
+                               atol=1e-4, rtol=1e-6)
+
+    # --- full Eq.20 assembly with detection pinned to zero on both sides
+    del ref_obj.detection_loss  # route the reference into its no-det branch
+    avg_bits = 5.2
+    bit_maps = [rng.uniform(2, 8, (2, s, s)).astype(np.float32)
+                for s in (8, 4, 2)]
+    s_maps = [rng.normal(size=(2, s, s, 10)).astype(np.float32)
+              for s in (8, 4)]
+    t_maps = [m + 0.1 * rng.normal(size=m.shape).astype(np.float32)
+              for m in s_maps]
+    weights = {"detection": 1.0, "bit_budget": 0.07, "smoothness": 0.13,
+               "distillation": 0.5, "regularization": 1e-4}
+
+    zeros = torch.zeros(4)
+    total_t, terms_t = ref_obj(
+        zeros, {"labels": torch.zeros(4)},
+        {"avg_bits": torch.tensor(avg_bits),
+         "bit_map": [_t(m) for m in bit_maps]},
+        teacher_outputs=[_t(m) for m in t_maps],
+        model_params=their_mapper,
+        loss_weights=weights, target_bits=4.0,
+    )
+    # their student outputs for KD come from `outputs` (zeros tensor is not
+    # a raw-map list) — pass the same maps through kd explicitly instead:
+    kd_t = ref_loss_mod.kd_logit_loss([_t(m) for m in s_maps],
+                                      [_t(m) for m in t_maps])
+    total_t = (total_t - weights["distillation"] * terms_t["loss_kd"]
+               + weights["distillation"] * kd_t)
+
+    total_j = (
+        weights["bit_budget"] * bit_budget_loss(jnp.float32(avg_bits), 4.0)
+        + weights["smoothness"] * smoothness_loss(bit_maps)
+        + weights["distillation"] * kd_logit_loss(s_maps, t_maps)
+        + weights["regularization"] * mapper_l2(variables["params"])
+    )
+    np.testing.assert_allclose(float(total_j), float(total_t),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_loss_gradient_through_mapper_parity(ref_loss_mod, ref, rng):
+    """d(l1*Lbit + l2*Lsmooth)/d(mapper weights) with shared weights and
+    shared complexity input, training-mode BatchNorm, through the continuous
+    bit map — the gradient that actually trains the bit mapper (reference
+    train.py:626-641)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mcaq_yolo_tpu.core.bit_allocation import ComplexityToBitMappingNetwork
+    from mcaq_yolo_tpu.models.losses import bit_budget_loss, smoothness_loss
+
+    torch.manual_seed(11)
+    their_mapper = ref.b.ComplexityToBitMappingNetwork(min_bits=2, max_bits=8)
+    their_mapper.train()
+    ref_obj = ref_loss_mod.MCAQYOLOLoss(model=None)
+
+    c = rng.random((2, 10, 10), dtype=np.float32)
+    l1, l2, tgt = 0.1, 0.1, 4.0
+
+    bm_t = their_mapper(_t(c), temperature=0.8, return_continuous=True)
+    loss_t = (l1 * ref_obj.compute_bit_budget_loss(bm_t.mean(), tgt)
+              + l2 * ref_obj.compute_smoothness_loss(bm_t))
+    loss_t.backward()
+    linears = [m for m in their_mapper.mapping_network
+               if isinstance(m, torch.nn.Linear)]
+    grad_t = linears[0].weight.grad.detach().numpy()
+
+    ours = ComplexityToBitMappingNetwork(min_bits=2, max_bits=8)
+    variables = ours.init({"params": np.zeros(2, np.uint32)}, c)
+    their_mapper.zero_grad()
+    # re-inject PRE-forward weights: the torch forward above updated BN
+    # running stats in-place, but _inject_mlp_weights copies params (Linear/
+    # BN affine), which the forward does not mutate — and training-mode BN
+    # uses batch stats, so running stats don't enter the gradient.
+    variables = _inject_mlp_weights(their_mapper, variables)
+
+    def f(params):
+        bm, _ = ours.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            jnp.asarray(c), temperature=0.8, return_continuous=True,
+            training=True, mutable=["batch_stats"],
+        )
+        return (l1 * bit_budget_loss(bm.mean(), tgt)
+                + l2 * smoothness_loss(bm))
+
+    # forward values agree first
+    np.testing.assert_allclose(float(f(variables["params"])), float(loss_t),
+                               atol=1e-5, rtol=0)
+    grads = jax.grad(f)(variables["params"])
+    grad_j = np.asarray(grads["Dense_0"]["kernel"]).T
+    np.testing.assert_allclose(grad_j, grad_t, atol=1e-4, rtol=1e-3)
