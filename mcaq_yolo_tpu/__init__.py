@@ -25,6 +25,22 @@ scripts/    backend_agreement, m3_permutation, m4_variation_gain
 
 __version__ = "0.1.0"
 
+# Backend-name guard: some hosts pin JAX_PLATFORMS to a TPU plugin name
+# ('axon') that the installed plugin may no longer register under; fall
+# back to auto-selection rather than failing every module import.  A
+# no-op when the pinned platform (or an explicit cpu override, as in the
+# test conftest) initializes fine.
+import jax as _jax
+
+try:  # pragma: no cover - depends on host plugin registration
+    _jax.devices()
+except RuntimeError:
+    # auto-select so imports never crash; perf/training entry points that
+    # REQUIRE the accelerator should use utils.sync.require_tpu(), which
+    # retries the tunnel instead of silently accepting cpu
+    _jax.config.update("jax_platforms", "")
+del _jax
+
 # Eager: lightweight pure-math core (mirrors the reference's PEP 562 split,
 # reference __init__.py:30-38 — core eager, heavy engine lazy).
 from .core.curriculum import CurriculumScheduler  # noqa: F401

@@ -277,10 +277,14 @@ class SpatialAdaptiveQuantization(nn.Module):
             # ranges route through the jnp compose
             use_pallas = self.backend == "pallas" and x_min.ndim == 1
             if use_pallas:
-                # fused Pallas path: quantize + mask multiply in one VMEM pass
+                # fused Pallas path: quantize + mask multiply in one VMEM
+                # pass.  Pass the ORIGINAL dtype (not xf): the kernel
+                # computes in f32 in-register; shipping bf16 features
+                # through HBM halves the bytes on a bandwidth-bound op
+                # (VERDICT r2 item 4)
                 from ..ops.pallas_quant import spatial_quantize_pallas
 
-                x_q = spatial_quantize_pallas(xf, bit_map, x_min, x_max, mask=m)
+                x_q = spatial_quantize_pallas(x, bit_map, x_min, x_max, mask=m)
             else:
                 x_q = self._compose_integer(xf, bit_map, x_min, x_max)
                 if m is not None:

@@ -21,14 +21,31 @@ Kernel design (deliberately different from the CUDA formulation):
     footprint ~128x (each (8,128) vreg tile carries one useful lane), so
     the planes cost more bandwidth than the feature map itself (measured
     2054us vs the XLA compose's 1126us at yolov8n-P3/640, bs=32).
-  * v3 (this version) keeps the plane hoist but ships the planes as 3-D
-    (B, H, W) arrays blocked (1, bh, W): lane dim = W, no inflation.  The
-    kernel reshapes each plane to (1, bh, W, 1) ONCE per block — a tiny
-    bh*W-element relayout — after which every use is a per-sublane scalar
-    broadcast against the (1, bh, W, C) feature slab, which Mosaic lowers
-    natively.  The kernel body is a single ~14-op/element streaming pass:
-    memory-bound, not lane-starved.  Extra HBM traffic: 12 bytes/pixel of
-    planes vs 8*C bytes/pixel of feature I/O (~5% at C=64).
+  * v3 keeps the plane hoist but ships the planes as 3-D (B, H, W) arrays
+    blocked (1, bh, W): lane dim = W, no inflation.  The kernel reshapes
+    each plane to (1, bh, W, 1) ONCE per block — a tiny bh*W-element
+    relayout — after which every use is a per-sublane scalar broadcast
+    against the (1, bh, W, C) feature slab, which Mosaic lowers natively.
+    The kernel body is a single ~14-op/element streaming pass: memory-
+    bound, not lane-starved.  Extra HBM traffic: 12 bytes/pixel of planes
+    vs 8*C bytes/pixel of feature I/O (~5% at C=64).
+  * v4 (this version) attacks the remaining bandwidth wall (VERDICT r2
+    item 4):
+      - bf16 feature I/O: the kernel always computed in f32 IN-REGISTER
+        and wrote x.dtype, but the CALLER up-cast to f32 first — on a
+        bandwidth-bound op with a bf16 network that doubles both the read
+        and the write.  core/quantization.py now passes the original
+        dtype through.
+      - C=64 lane packing: a (…, 64) array uses 64 of each vreg's 128
+        lanes and its DMA hits the lane-padding wall (measured ~118 GB/s
+        vs ~411 GB/s flat-stream on this chip).  When C == 64 and the
+        tile width is even, adjacent pixel PAIRS always share a tile
+        (tile widths are pow2 >= 2), so the feature map is viewed as
+        (B, H, W/2, 128) — a FREE row-major reshape — the scalar planes
+        are built at half width (every even column), and the min/max
+        tables are tiled to 128 lanes.  The soft mask IS pixel-resolution,
+        so the masked path ships two half-width planes (even/odd columns)
+        and multiplies each half of the 128 lanes separately.
 
 A pure-jnp/XLA reference (`spatial_quantize_reference`) implements identical
 math via the static 7-plane compose; the parity test
@@ -160,6 +177,23 @@ def _quant_kernel_masked(x_ref, qmin_ref, d_ref, invd_ref, min_ref, max_ref,
     out_ref[...] = out.astype(out_ref.dtype)
 
 
+def _quant_kernel_packed_masked(x_ref, qmin_ref, d_ref, invd_ref, min_ref,
+                                max_ref, me_ref, mo_ref, out_ref):
+    """Lane-packed masked variant: x is (1, bh, W/2, 2C); pixel pairs share
+    a tile (so one qmin/d/invd per pair), but the soft mask is pixel-
+    resolution — the even/odd half-width planes each scale their half of
+    the 2C lanes."""
+    x = x_ref[...].astype(jnp.float32)
+    out = _quant_body(x, qmin_ref[...], d_ref[...], invd_ref[...],
+                      min_ref, max_ref)
+    C2 = out.shape[-1]
+    C = C2 // 2
+    m_e = jnp.broadcast_to(me_ref[...][..., None], out.shape[:-1] + (C,))
+    m_o = jnp.broadcast_to(mo_ref[...][..., None], out.shape[:-1] + (C,))
+    out = out * jnp.concatenate([m_e, m_o], axis=-1)
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
 def _pick_block_h(H: int, W: int, C: int, budget_bytes: int = 512 << 10) -> int:
     """Rows per program, sized so the f32 slab stays ~512KB.
 
@@ -181,6 +215,18 @@ def _pick_block_h(H: int, W: int, C: int, budget_bytes: int = 512 << 10) -> int:
     return H  # block dim == array dim is always legal
 
 
+def _can_pack(B, H, W, C, bit_map_shape) -> bool:
+    """Lane packing is legal when C == 64 (the lane-starved layout) and
+    every even/odd column pair shares a tile: exact tile division with an
+    even tile width."""
+    _, Ht, Wt = bit_map_shape
+    if C != 64 or W % 2:
+        return False
+    tw = W // Wt
+    th = H // Ht
+    return th * Ht == H and tw * Wt == W and tw % 2 == 0
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def spatial_quantize_pallas(
     x: jnp.ndarray,            # (B, H, W, C) NHWC
@@ -190,33 +236,67 @@ def spatial_quantize_pallas(
     mask: Optional[jnp.ndarray] = None,  # (B, H, W) or (B, H, W, 1)
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused tile-wise quantize/dequantize (+ optional soft-mask multiply)."""
+    """Fused tile-wise quantize/dequantize (+ optional soft-mask multiply).
+
+    Feature I/O stays in x.dtype (bf16 halves the HBM bytes vs the f32 the
+    v3 caller shipped); arithmetic is f32 in-register.  C=64 inputs are
+    viewed as (B, H, W/2, 128) to fill all vreg lanes (module docstring,
+    v4)."""
     B, H, W, C = x.shape
     x_min = jnp.broadcast_to(x_min.astype(jnp.float32).reshape(-1), (C,))
     x_max = jnp.broadcast_to(x_max.astype(jnp.float32).reshape(-1), (C,))
     qmin_pix, d_pix, invd_pix = _qparam_planes(bit_map, H, W)
+    if mask is not None and mask.ndim == 4:
+        mask = mask[..., 0]  # (B, H, W)
 
-    bh = _pick_block_h(H, W, C)
+    packed = _can_pack(B, H, W, C, bit_map.shape)
+    if packed:
+        Wk, Ck = W // 2, 2 * C
+        xk = x.reshape(B, H, Wk, Ck)          # free row-major view
+        qmin_k = qmin_pix[:, :, ::2]          # pairs share a tile
+        d_k = d_pix[:, :, ::2]
+        invd_k = invd_pix[:, :, ::2]
+        tbl_min = jnp.concatenate([x_min, x_min]).reshape(1, Ck)
+        tbl_max = jnp.concatenate([x_max, x_max]).reshape(1, Ck)
+    else:
+        Wk, Ck = W, C
+        xk, qmin_k, d_k, invd_k = x, qmin_pix, d_pix, invd_pix
+        tbl_min = x_min.reshape(1, Ck)
+        tbl_max = x_max.reshape(1, Ck)
+
+    bh = _pick_block_h(H, Wk, Ck)
     grid = (B, H // bh)
 
-    x_spec = pl.BlockSpec((1, bh, W, C), lambda i, j: (i, j, 0, 0),
+    x_spec = pl.BlockSpec((1, bh, Wk, Ck), lambda i, j: (i, j, 0, 0),
                           memory_space=pltpu.VMEM)
-    plane_spec = pl.BlockSpec((1, bh, W), lambda i, j: (i, j, 0),
+    plane_spec = pl.BlockSpec((1, bh, Wk), lambda i, j: (i, j, 0),
                               memory_space=pltpu.VMEM)
-    tbl_spec = pl.BlockSpec((1, C), lambda i, j: (0, 0),
+    tbl_spec = pl.BlockSpec((1, Ck), lambda i, j: (0, 0),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, bh, W, C), lambda i, j: (i, j, 0, 0),
-                            memory_space=pltpu.VMEM)
+    out_spec = x_spec
 
+    itemsize = jnp.dtype(x.dtype).itemsize
     cost = pl.CostEstimate(
         flops=14 * B * H * W * C,
-        bytes_accessed=2 * B * H * W * C * 4 + 3 * B * H * W * 4,
+        bytes_accessed=2 * B * H * W * C * itemsize + 3 * B * H * Wk * 4,
         transcendentals=0,
     )
 
     if mask is not None:
-        if mask.ndim == 4:
-            mask = mask[..., 0]  # (B, H, W)
+        maskf = mask.astype(jnp.float32)
+        if packed:
+            out = pl.pallas_call(
+                _quant_kernel_packed_masked,
+                out_shape=jax.ShapeDtypeStruct(xk.shape, x.dtype),
+                grid=grid,
+                in_specs=[x_spec, plane_spec, plane_spec, plane_spec,
+                          tbl_spec, tbl_spec, plane_spec, plane_spec],
+                out_specs=out_spec,
+                cost_estimate=cost,
+                interpret=interpret,
+            )(xk, qmin_k, d_k, invd_k, tbl_min, tbl_max,
+              maskf[:, :, 0::2], maskf[:, :, 1::2])
+            return out.reshape(B, H, W, C)
         return pl.pallas_call(
             _quant_kernel_masked,
             out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -226,19 +306,19 @@ def spatial_quantize_pallas(
             out_specs=out_spec,
             cost_estimate=cost,
             interpret=interpret,
-        )(x, qmin_pix, d_pix, invd_pix,
-          x_min.reshape(1, C), x_max.reshape(1, C), mask.astype(jnp.float32))
+        )(x, qmin_pix, d_pix, invd_pix, tbl_min, tbl_max, maskf)
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _quant_kernel,
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        out_shape=jax.ShapeDtypeStruct(xk.shape, x.dtype),
         grid=grid,
         in_specs=[x_spec, plane_spec, plane_spec, plane_spec,
                   tbl_spec, tbl_spec],
         out_specs=out_spec,
         cost_estimate=cost,
         interpret=interpret,
-    )(x, qmin_pix, d_pix, invd_pix, x_min.reshape(1, C), x_max.reshape(1, C))
+    )(xk, qmin_k, d_k, invd_k, tbl_min, tbl_max)
+    return out.reshape(B, H, W, C) if packed else out
 
 
 # ---------------------------------------------------------------------------

@@ -120,6 +120,10 @@ def run(batch=32, iters=50, dtype=jnp.float32, with_mask=True, seed=0):
 
 def main():
     import os
+    try:
+        jax.devices()
+    except RuntimeError:  # pinned platform name != installed plugin's name
+        jax.config.update("jax_platforms", "")
     jax.config.update(
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(os.path.dirname(

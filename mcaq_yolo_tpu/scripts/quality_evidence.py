@@ -1,22 +1,37 @@
-"""Quality-parity evidence run (BASELINE quality contract; VERDICT r1 item 4).
+"""Quality-parity evidence: THREE-ARM protocol on the class-learnable
+synthetic dataset v2 (BASELINE quality contract; VERDICT r2 item 1).
 
-Trains MCAQ-YOLO at REALISTIC resolution (640px, full curriculum, MLP bit
-mapper, mosaic augmentation) on a synthetic photographic-statistics dataset,
-then reports the quality table the BASELINE asks for:
+Round-2's protocol was structurally incapable of demonstrating mAP parity:
+the v1 synthetic dataset drew class labels independently of appearance
+(mAP ceiling ~1/nc) and its "fp32 arm" was the MCAQ weights with
+quantization switched off.  This protocol fixes both:
 
-    * mAP@0.5 and mAP@0.5:0.95 with quantization ON (the deployed path)
-      vs quantization OFF (FP arm) — same weights, same data, same seed
-    * mean bit budget + compression ratio (32 / avg_bits)
-    * FP-vs-quantized raw-map divergence (reference evaluation.py:310-341)
+  dataset v2   class IS a function of appearance (4 shapes x solid/textured
+               x fixed color family) with spatially-heterogeneous complexity
+               (data/dataset.py:make_synthetic_dataset_v2), separate
+               train/val splits.
 
-The reference's own full trainer cannot run here (it requires the
-`ultralytics` package), so the torch-side quality anchor is the e2e
-inference parity test (tests/test_e2e_mcaq_parity.py: reference quantizer +
-torch detector == this framework, detection- and mAP-level); this script
-supplies the at-scale quantized-vs-FP numbers on top of it.
+  arm A        FP32-TRAINED baseline: trained with quantization never
+               enabled (curriculum pinned to Stage 1), evaluated in FP —
+               the reference's separately-trained baseline/teacher protocol
+               (reference train.py:83-94).
+  arm B        MCAQ-TRAINED: full 3-stage curriculum, MLP bit mapper with
+               per-image complexity normalization (the reference's flat-map
+               fix), evaluated quantized at deployment temperature; also
+               reports the DEPLOYED rounded bit-map spatial std + histogram
+               (VERDICT r2 weak-3: must be non-degenerate).
+  arm C        POST-HOC QUANTIZED: arm A's FP weights overlaid into an MCAQ
+               model with the parameter-free linear mapper, EMA-calibrated
+               (calibrate.py), evaluated quantized — what naive PTQ costs,
+               the gap MCAQ training is supposed to close.
+  KD arm       (--kd-epochs) arm A's checkpoint exported as the FP32
+               teacher; a logit+feature-KD student trained at the same bit
+               target — compared against arm B at equal bits (VERDICT r2
+               item 7: KD must earn its keep against a true FP teacher).
 
 Usage: python -m mcaq_yolo_tpu.scripts.quality_evidence
-           [--img-size 640] [--epochs 30] [--n-images 96] [--out FILE]
+           [--img-size 640] [--epochs 60] [--fp-epochs 50] [--n-images 192]
+           [--kd-epochs 0] [--out FILE]
 """
 
 from __future__ import annotations
@@ -27,154 +42,274 @@ import time
 from pathlib import Path
 
 
-def run(img_size=640, epochs=30, n_images=96, n_classes=8, batch_size=16,
-        variant="yolov8n", root="outputs/quality_evidence", seed=0,
-        kd_epochs=0):
+def _eval_quantized_arm(model, variables, val_loader, num_classes,
+                        temperature=1.0, quantize=True):
+    """Shared eval: mAP@0.5 / mAP@50-95 / avg_bits over the val loader."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from ..data.dataset import DataLoader, YOLODataset, make_synthetic_dataset
+    from ..train import make_eval_step
+    from ..utils.evaluation import (
+        compute_map,
+        compute_map50_95,
+        detections_to_numpy,
+        extract_targets_per_image,
+    )
+
+    eval_step = make_eval_step(model, num_classes)
+    preds, targets, bits = [], [], []
+    for batch in val_loader:
+        images = jnp.asarray(batch["image"])
+        det = jax.device_get(eval_step(
+            variables, images, jnp.float32(temperature), quantize=quantize))
+        b, s, c, v, avg_bits = det
+        preds.extend(detections_to_numpy(b, s, c, v))
+        targets.extend(extract_targets_per_image(batch))
+        bits.append(float(avg_bits))
+    m50 = compute_map(preds, targets, 0.5)["map"]
+    m5095 = compute_map50_95(preds, targets)["map50_95"]
+    return {
+        "map50": m50,
+        "map50_95": m5095,
+        "avg_bits": float(np.mean(bits)) if quantize else 32.0,
+    }
+
+
+def _deployed_bitmap_stats(model, variables, val_loader, max_batches=2):
+    """Rounded deployed bit maps: per-image spatial std + 2..8 histogram
+    (VERDICT r2 weak-3 acceptance: std > 0 means the MLP mapper actually
+    allocates spatially)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    @jax.jit
+    def fwd(variables, images):
+        _, aux = model.apply(variables, images, temperature=1.0,
+                             quantize=True, training=False)
+        return aux["bit_map"]
+
+    stds, all_bits = [], []
+    for i, batch in enumerate(val_loader):
+        maps = jax.device_get(fwd(variables, jnp.asarray(batch["image"])))
+        for m in maps:  # per scale: (B, Ht, Wt)
+            m = np.round(np.asarray(m))
+            stds.extend(m.reshape(m.shape[0], -1).std(axis=1).tolist())
+            all_bits.extend(m.reshape(-1).tolist())
+        if i + 1 >= max_batches:
+            break
+    hist = {int(b): int((np.asarray(all_bits) == b).sum())
+            for b in range(2, 9)}
+    return {"rounded_map_spatial_std_mean": float(np.mean(stds)),
+            "rounded_map_spatial_std_max": float(np.max(stds)),
+            "bit_histogram": hist}
+
+
+def run(img_size=640, epochs=60, n_images=192, batch_size=16,
+        variant="yolov8n", root="outputs/quality_evidence_v2", seed=0,
+        kd_epochs=0, fp_epochs=None, n_val=None, lr=2e-3):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import serialization
+
+    from ..calibrate import calibrate
+    from ..data.dataset import (
+        DataLoader,
+        YOLODataset,
+        load_dataset_yaml,
+        make_synthetic_dataset_v2,
+    )
+    from ..models import MCAQYOLO
     from ..train import Trainer, export_teacher_from_ckpt
     from ..utils.evaluation import evaluate_quantization_impact
 
-    root = Path(root).resolve()  # dataset yaml stores paths relative to it
+    n_classes = 8  # dataset v2 is fixed at 8 appearance-defined classes
+    n_val = n_val or max(batch_size, n_images // 4)
+    fp_epochs = fp_epochs or epochs
+
+    root = Path(root).resolve()
     root.mkdir(parents=True, exist_ok=True)
-    yaml_path = make_synthetic_dataset(
+    yaml_path = make_synthetic_dataset_v2(
         str(root / "data"), n_images=n_images, img_size=img_size,
-        n_classes=n_classes,
+        n_val=n_val, seed=seed,
     )
 
-    warmup = max(2, epochs // 6)
-    transition = max(warmup + 2, epochs // 2)
-    config = {
-        "model": {"name": variant, "num_classes": n_classes,
-                  "teacher_path": None},
-        "data": {"yaml_path": yaml_path, "img_size": img_size,
-                 "max_boxes": 32, "num_workers": 2, "mosaic_p": 1.0},
-        "epochs": epochs,
-        "batch_size": batch_size,
-        "learning_rate": 2e-3,
-        "quantization": {"min_bits": 2, "max_bits": 8, "target_bits": 4.0,
-                         "grid_size": 8, "bit_mapping": "mlp"},
-        "curriculum": {"enabled": True, "warmup_epochs": warmup,
-                       "transition_epochs": transition,
-                       "initial_temperature": 10.0},
-        "distillation": {"enabled": False},
-        "training": {"map_interval": max(1, epochs // 6), "amp": True},
-        "seed": seed,
-        "output_dir": str(root / "train"),
-    }
+    def base_config(output_dir, n_epochs):
+        warmup = max(2, n_epochs // 6)
+        transition = max(warmup + 2, n_epochs // 2)
+        return {
+            "model": {"name": variant, "num_classes": n_classes,
+                      "teacher_path": None},
+            "data": {"yaml_path": yaml_path, "img_size": img_size,
+                     "max_boxes": 16, "num_workers": 2, "mosaic_p": 0.5},
+            "epochs": n_epochs,
+            "batch_size": batch_size,
+            "learning_rate": lr,
+            "quantization": {"min_bits": 2, "max_bits": 8,
+                             "target_bits": 4.0, "grid_size": 8,
+                             "bit_mapping": "mlp",
+                             "normalize_complexity": True},
+            "curriculum": {"enabled": True, "warmup_epochs": warmup,
+                           "transition_epochs": transition,
+                           "initial_temperature": 10.0},
+            "distillation": {"enabled": False},
+            "training": {"map_interval": max(1, n_epochs // 8), "amp": True},
+            "seed": seed,
+            "output_dir": str(output_dir),
+        }
 
+    table = {"config": {"variant": variant, "img_size": img_size,
+                        "epochs": epochs, "fp_epochs": fp_epochs,
+                        "n_images": n_images, "n_val": n_val, "seed": seed,
+                        "dataset": "synthetic_v2"}}
+
+    # ---------------- arm A: FP32-trained baseline -----------------------
     t0 = time.time()
-    trainer = Trainer(config)
-    train_res = trainer.train()
+    fp_cfg = base_config(root / "train_fp", fp_epochs)
+    # pin the curriculum to Stage 1 for the whole run: quantization never
+    # activates, loss is pure detection — a true FP baseline
+    fp_cfg["curriculum"]["warmup_epochs"] = fp_epochs + 1
+    fp_cfg["curriculum"]["transition_epochs"] = fp_epochs + 2
+    fp_trainer = Trainer(fp_cfg)
+    fp_res = fp_trainer.train()
+    fp_vars = fp_trainer._variables()
+    fp_arm = _eval_quantized_arm(fp_trainer.model, fp_vars,
+                                 fp_trainer.val_loader, n_classes,
+                                 quantize=False)
+    fp_arm["best_map50_during_training"] = fp_res["best_map50"]
+    fp_arm["wall_time_s"] = round(time.time() - t0, 1)
+    table["fp_trained_arm"] = fp_arm
+    fp_ckpt = root / "train_fp" / (
+        "best.ckpt" if (root / "train_fp" / "best.ckpt").exists()
+        else "last.ckpt")
 
-    # final eval, both arms, at deployment temperature
-    variables = trainer._variables()
+    # ---------------- arm B: MCAQ-trained --------------------------------
+    t1 = time.time()
+    mcaq_cfg = base_config(root / "train_mcaq", epochs)
+    mcaq_trainer = Trainer(mcaq_cfg)
+    mcaq_res = mcaq_trainer.train()
+    mcaq_vars = mcaq_trainer._variables()
+    mcaq_arm = _eval_quantized_arm(mcaq_trainer.model, mcaq_vars,
+                                   mcaq_trainer.val_loader, n_classes,
+                                   quantize=True)
+    mcaq_arm["compression"] = round(32.0 / max(mcaq_arm["avg_bits"], 1e-9), 2)
+    mcaq_arm["best_map50_during_training"] = mcaq_res["best_map50"]
+    mcaq_arm.update(_deployed_bitmap_stats(
+        mcaq_trainer.model, mcaq_vars, mcaq_trainer.val_loader))
+    mcaq_arm["wall_time_s"] = round(time.time() - t1, 1)
+    table["mcaq_trained_arm"] = mcaq_arm
 
-    def eval_arm(quantize):
-        preds, targets, bits = [], [], []
-        from ..utils.evaluation import (
-            compute_map,
-            compute_map50_95,
-            detections_to_numpy,
-            extract_targets_per_image,
-        )
-        for batch in trainer.val_loader:
-            images = jnp.asarray(batch["image"])
-            det = jax.device_get(trainer.eval_step(
-                variables, images, jnp.float32(1.0), quantize=quantize))
-            b, s, c, v, avg_bits = det
-            preds.extend(detections_to_numpy(b, s, c, v))
-            targets.extend(extract_targets_per_image(batch))
-            bits.append(float(avg_bits))
-        m50 = compute_map(preds, targets, 0.5)["map"]
-        m5095 = compute_map50_95(preds, targets)["map50_95"]
-        return {"map50": m50, "map50_95": m5095,
-                "avg_bits": float(np.mean(bits)) if quantize else 32.0}
+    # ---------------- arm C: post-hoc quantized FP -----------------------
+    t2 = time.time()
+    posthoc_model = MCAQYOLO(variant=variant, num_classes=n_classes,
+                             bit_mapping="linear", grid_size=8,
+                             normalize_complexity=True)
+    dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
+    posthoc_vars = posthoc_model.init(jax.random.PRNGKey(0), dummy,
+                                      training=False)
+    payload = serialization.msgpack_restore(fp_ckpt.read_bytes())
 
-    q_arm = eval_arm(True)
-    fp_arm = eval_arm(False)
+    def overlay(dst, src):
+        out = dict(dst)
+        for k, v in dst.items():
+            if src is None or k not in src:
+                continue
+            if isinstance(v, dict):
+                out[k] = overlay(v, src[k])
+            elif tuple(getattr(src[k], "shape", ())) == tuple(v.shape):
+                out[k] = jnp.asarray(src[k], v.dtype)
+        return out
 
-    # raw-map divergence (reference evaluation.py:310-341)
+    posthoc_vars = {
+        k: overlay(posthoc_vars.get(k, {}), payload.get(k))
+        for k in ("params", "batch_stats", "quant_stats", "buffers")
+    }
+    calib_loader = DataLoader(
+        YOLODataset(fp_trainer.train_dataset.img_dir, img_size, 16,
+                    augment=False),
+        batch_size, shuffle=False,
+    )
+    posthoc_vars = calibrate(posthoc_model, posthoc_vars, calib_loader,
+                             num_images=min(n_images, 256))
+    posthoc_arm = _eval_quantized_arm(posthoc_model, posthoc_vars,
+                                      mcaq_trainer.val_loader, n_classes,
+                                      quantize=True)
+    posthoc_arm["compression"] = round(
+        32.0 / max(posthoc_arm["avg_bits"], 1e-9), 2)
+    posthoc_arm["wall_time_s"] = round(time.time() - t2, 1)
+    table["posthoc_quant_arm"] = posthoc_arm
+
+    # ---------------- deltas (the BASELINE quality contract) -------------
+    table["delta_mcaq_vs_fp_map50_95"] = round(
+        mcaq_arm["map50_95"] - fp_arm["map50_95"], 4)
+    table["delta_posthoc_vs_fp_map50_95"] = round(
+        posthoc_arm["map50_95"] - fp_arm["map50_95"], 4)
+    table["mcaq_recovers_over_posthoc_map50_95"] = round(
+        mcaq_arm["map50_95"] - posthoc_arm["map50_95"], 4)
+
+    # raw-map FP-vs-quantized divergence on the MCAQ arm (reference
+    # evaluation.py:310-341)
     fwd = jax.jit(
-        lambda imgs, q: trainer.model.apply(
-            variables, imgs, temperature=1.0, quantize=q, training=False
+        lambda imgs, q: mcaq_trainer.model.apply(
+            mcaq_vars, imgs, temperature=1.0, quantize=q, training=False
         )[0],
         static_argnums=(1,),
     )
-    div_loader = DataLoader(
-        YOLODataset(trainer.val_dataset.img_dir, img_size, 32, augment=False),
-        batch_size, shuffle=False,
-    )
     div = evaluate_quantization_impact(
-        lambda im: fwd(jnp.asarray(im), False),
-        lambda im: fwd(jnp.asarray(im), True),
-        div_loader, max_batches=4,
+        lambda im: fwd(jnp.asarray(im["image"] if isinstance(im, dict) else im), False),
+        lambda im: fwd(jnp.asarray(im["image"] if isinstance(im, dict) else im), True),
+        mcaq_trainer.val_loader, max_batches=2,
     )
     div.pop("per_image", None)
+    table["raw_map_divergence"] = div
 
-    table = {
-        "config": {"variant": variant, "img_size": img_size,
-                   "epochs": epochs, "n_images": n_images, "seed": seed},
-        "wall_time_s": round(time.time() - t0, 1),
-        "fp32_arm": fp_arm,
-        "mcaq_arm": {**q_arm,
-                     "compression": round(32.0 / max(q_arm["avg_bits"], 1e-9), 2)},
-        "delta_map50_95": round(q_arm["map50_95"] - fp_arm["map50_95"], 4),
-        "raw_map_divergence": div,
-        "best_map50_during_training": train_res["best_map50"],
-    }
-
+    # ---------------- KD arm ---------------------------------------------
     if kd_epochs > 0:
-        # full reference KD workflow: export the trained detector as the
-        # FP32 teacher, then train a KD student (logit + feature
-        # distillation, reference train.py:83-94, 582-610)
-        ckpt = root / "train" / ("best.ckpt" if (root / "train" / "best.ckpt").exists() else "last.ckpt")
+        t3 = time.time()
         teacher_path = export_teacher_from_ckpt(
-            str(ckpt), str(root / "teacher.ckpt"), variant,
-            n_classes, img_size)
-        kd_config = dict(config)
-        kd_config["model"] = dict(config["model"], teacher_path=teacher_path)
-        kd_config["distillation"] = {"enabled": True}
-        kd_config["epochs"] = kd_epochs
-        kd_config["output_dir"] = str(root / "train_kd")
-        kd_config["curriculum"] = dict(
-            config["curriculum"],
-            warmup_epochs=max(2, kd_epochs // 6),
-            transition_epochs=max(4, kd_epochs // 2),
-        )
-        t1 = time.time()
-        kd_trainer = Trainer(kd_config)
+            str(fp_ckpt), str(root / "teacher.ckpt"), variant, n_classes,
+            img_size)
+        kd_cfg = base_config(root / "train_kd", kd_epochs)
+        kd_cfg["model"]["teacher_path"] = teacher_path
+        kd_cfg["distillation"] = {"enabled": True}
+        kd_trainer = Trainer(kd_cfg)
         kd_res = kd_trainer.train()
+        kd_vars = kd_trainer._variables()
+        kd_arm = _eval_quantized_arm(kd_trainer.model, kd_vars,
+                                     kd_trainer.val_loader, n_classes,
+                                     quantize=True)
+        kd_arm["best_map50_during_training"] = kd_res["best_map50"]
         final = kd_trainer.history[-1] if kd_trainer.history else {}
-        table["kd_arm"] = {
-            "epochs": kd_epochs,
-            "best_map50": kd_res["best_map50"],
-            "final_avg_bits": final.get("avg_bits"),
-            "final_kd_loss": final.get("loss_kd"),
-            "wall_time_s": round(time.time() - t1, 1),
-        }
+        kd_arm["final_kd_loss"] = final.get("loss_kd")
+        kd_arm["wall_time_s"] = round(time.time() - t3, 1)
+        table["kd_arm"] = kd_arm
+        table["delta_kd_vs_mcaq_map50_95"] = round(
+            kd_arm["map50_95"] - mcaq_arm["map50_95"], 4)
+
+    table["wall_time_s"] = round(time.time() - t0, 1)
     return table
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--img-size", type=int, default=640)
-    p.add_argument("--epochs", type=int, default=30)
-    p.add_argument("--n-images", type=int, default=96)
+    p.add_argument("--epochs", type=int, default=60)
+    p.add_argument("--fp-epochs", type=int, default=None)
+    p.add_argument("--n-images", type=int, default=192)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--variant", default="yolov8n")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--root", default="outputs/quality_evidence")
+    p.add_argument("--root", default="outputs/quality_evidence_v2")
     p.add_argument("--out", default=None)
     p.add_argument("--kd-epochs", type=int, default=0,
-                   help="also run the teacher-export + KD-student stage")
+                   help="also run the FP-teacher-export + KD-student arm")
     args = p.parse_args(argv)
     table = run(args.img_size, args.epochs, args.n_images,
                 batch_size=args.batch_size, variant=args.variant,
-                root=args.root, seed=args.seed, kd_epochs=args.kd_epochs)
+                root=args.root, seed=args.seed, kd_epochs=args.kd_epochs,
+                fp_epochs=args.fp_epochs)
     s = json.dumps(table, indent=2, default=float)
     print(s)
     if args.out:

@@ -16,6 +16,31 @@ from __future__ import annotations
 import numpy as np
 
 
+def require_tpu(retries: int = 30, wait_s: float = 10.0):
+    """Block until the tunneled TPU is actually acquired; raise otherwise.
+
+    The 'axon' tunnel admits ONE process at a time: while another process
+    holds the chip, backend init raises and a bare jax_platforms=''
+    fallback would silently land on cpu — poisoning every throughput
+    number.  This helper retries the tunnel and asserts the final backend
+    is a TPU."""
+    import time
+
+    import jax
+
+    last = None
+    for _ in range(max(1, retries)):
+        try:
+            devs = jax.devices()
+            if jax.default_backend() != "cpu":
+                return devs
+            last = RuntimeError(f"backend is {jax.default_backend()}")
+        except RuntimeError as e:  # busy tunnel / registration race
+            last = e
+        time.sleep(wait_s)
+    raise RuntimeError(f"TPU not acquired after {retries} tries: {last}")
+
+
 def sync(out) -> None:
     """Block until every computation producing `out` has finished on device.
 

@@ -122,3 +122,51 @@ def test_reference_respects_bit_planes():
     right_err = float(jnp.abs(out[0, :, 4:] - x[0, :, 4:]).max())
     assert len(np.unique(left.round(5))) <= 4
     assert right_err < 0.01
+
+
+def test_kernel_parity_packed_lanes_no_mask():
+    """v4 lane-packed path: C=64 viewed as (B, H, W/2, 128).  Same parity
+    contract as the unpacked path."""
+    from mcaq_yolo_tpu.ops.pallas_quant import _can_pack
+
+    x, bit_map, x_min, x_max = _inputs(B=2, H=16, W=16, C=64, key=5)
+    assert _can_pack(2, 16, 16, 64, bit_map.shape)
+    out = spatial_quantize_pallas(x, bit_map, x_min, x_max, interpret=True)
+    ref = spatial_quantize_reference(x, bit_map, x_min, x_max)
+    assert_quant_parity(out, ref, bit_map, x_min, x_max, 16, 16)
+
+
+def test_kernel_parity_packed_lanes_with_mask():
+    """Packed path with the pixel-resolution Eq.19 mask: even/odd columns
+    carry DIFFERENT mask values, so this catches any even/odd lane-half
+    mix-up."""
+    x, bit_map, x_min, x_max = _inputs(B=2, H=16, W=16, C=64, key=6)
+    rng = np.random.default_rng(7)
+    mask = jnp.asarray(rng.uniform(0.5, 1.0, (2, 16, 16)).astype(np.float32))
+    out = spatial_quantize_pallas(x, bit_map, x_min, x_max, mask=mask,
+                                  interpret=True)
+    ref = spatial_quantize_reference(x, bit_map, x_min, x_max, mask=mask)
+    # masked outputs are no longer exact quantization levels; compare to the
+    # reference's own masked output with the same one-step contract on the
+    # unmasked values' scale
+    e = np.abs(np.asarray(out) - np.asarray(ref))
+    assert (e > 1e-6).mean() < 0.01
+    assert e.max() < np.asarray(x_max - x_min).max() / 3.0  # << one 2-bit step
+
+
+def test_kernel_parity_bf16_io():
+    """bf16 feature I/O (v4): in-register math is f32, I/O is bf16 — parity
+    vs the reference computed on the SAME bf16-rounded input, to one
+    quantization step plus bf16 output rounding."""
+    x, bit_map, x_min, x_max = _inputs(B=1, H=16, W=16, C=64, key=8)
+    xb = x.astype(jnp.bfloat16)
+    out = spatial_quantize_pallas(xb, bit_map, x_min, x_max, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = spatial_quantize_reference(xb, bit_map, x_min, x_max)
+    o = np.asarray(out, np.float32)
+    r = np.asarray(ref, np.float32)
+    # both sides round to bf16 at the end; mismatches can differ by one
+    # quant step then one bf16 ulp — bound loosely by one 2-bit step
+    step2 = np.asarray(x_max - x_min).max() / 3.0
+    assert np.abs(o - r).max() <= step2 * (1 + 1 / 128)
+    assert (np.abs(o - r) > 0).mean() < 0.02

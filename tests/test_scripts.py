@@ -88,16 +88,22 @@ def test_m4_variation_gain_run_e2e(trained):
 
 
 def test_quality_evidence_run_e2e(tmp_path):
-    """Tiny-scale e2e of the quality-evidence protocol (96px, 3+2 epochs):
-    both arms evaluated, KD stage exports a teacher and trains, table
-    schema complete and finite where expected."""
+    """Tiny-scale e2e of the THREE-ARM quality protocol (96px, 3+2 epochs,
+    dataset v2): FP-trained, MCAQ-trained, post-hoc-quantized arms all
+    evaluated, KD stage exports the FP teacher and trains, deployed bit-map
+    stats present, table schema complete and finite where expected."""
     from mcaq_yolo_tpu.scripts.quality_evidence import run
 
-    table = run(img_size=96, epochs=3, n_images=8, n_classes=4,
+    table = run(img_size=96, epochs=3, n_images=8, n_val=4,
                 batch_size=4, root=str(tmp_path / "qe"), kd_epochs=2)
-    assert np.isfinite(table["fp32_arm"]["map50_95"])
-    assert np.isfinite(table["mcaq_arm"]["map50_95"])
-    assert 2.0 <= table["mcaq_arm"]["avg_bits"] <= 32.0
+    assert np.isfinite(table["fp_trained_arm"]["map50_95"])
+    assert np.isfinite(table["mcaq_trained_arm"]["map50_95"])
+    assert np.isfinite(table["posthoc_quant_arm"]["map50_95"])
+    assert 2.0 <= table["mcaq_trained_arm"]["avg_bits"] <= 32.0
+    assert 2.0 <= table["posthoc_quant_arm"]["avg_bits"] <= 8.0
+    assert table["fp_trained_arm"]["avg_bits"] == 32.0
+    assert "rounded_map_spatial_std_mean" in table["mcaq_trained_arm"]
+    assert sum(table["mcaq_trained_arm"]["bit_histogram"].values()) > 0
     assert np.isfinite(table["raw_map_divergence"]["mean_divergence"])
     assert (tmp_path / "qe" / "teacher.ckpt").exists()
-    assert np.isfinite(table["kd_arm"]["best_map50"]) or table["kd_arm"]["best_map50"] < 0
+    assert np.isfinite(table["kd_arm"]["map50_95"])
