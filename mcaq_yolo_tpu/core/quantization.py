@@ -185,16 +185,19 @@ class SpatialAdaptiveQuantization(nn.Module):
     per_channel: bool = True
     momentum: float = 0.99
     histogram_bins: int = 2048
-    # Eval-path backend: 'auto' | 'pallas' | 'jnp'.  Measured on v5e
-    # (sync-corrected timing, bs=32, f32, fori-chained — see
-    # scripts/bench_quant_kernel.py) the standalone op is layout-wall bound
-    # (~118GB/s copy ceiling at C=64 from lane padding); the single-pass
-    # XLA formulation (_compose_integer) is the fastest arm standalone
-    # (843us vs 1073us 7-plane vs ~1270us Pallas v3 at yolov8n-P3) AND the
-    # only one XLA can fuse into the producing conv / consuming neck ops,
-    # so 'auto' selects it.  The Pallas kernel (ops/pallas_quant.py, v3
-    # plane-hoisted) matches the 7-plane compose and carries the
-    # CUDA-kernel parity contract; select it explicitly with 'pallas'.
+    # Eval-path backend: 'auto' | 'pallas' | 'jnp'.  'auto' selects the
+    # single-pass XLA formulation (_compose_integer): measured on v5e
+    # (sync-corrected, fori-chained, bf16+mask — outputs/r3/
+    # kernel_bench_bf16.json) it is the fastest arm at the headline batch
+    # (yolov8n 3-scale total 3.39ms vs Pallas v4's 5.03ms at bs=128;
+    # at bs=32 the v4 kernel's 3.48ms edges it by ~1.5%) AND it is the
+    # only formulation XLA can fuse into the producing conv / consuming
+    # neck ops.  Its bit selection reads only the tiny (B,Ht,Wt) map —
+    # zero extra HBM traffic — which no kernel that ships pixel planes
+    # can beat at scale.  The Pallas kernel (ops/pallas_quant.py, v4:
+    # bf16 I/O + C=64 lane packing) is the CUDA-kernel parity-contract
+    # artifact (reference ops/src/mcaq_kernel.cu), NOT a perf feature;
+    # select it explicitly with 'pallas'.
     backend: str = "auto"
 
     @nn.compact

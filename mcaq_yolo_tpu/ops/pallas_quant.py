@@ -29,8 +29,7 @@ Kernel design (deliberately different from the CUDA formulation):
     The kernel body is a single ~14-op/element streaming pass: memory-
     bound, not lane-starved.  Extra HBM traffic: 12 bytes/pixel of planes
     vs 8*C bytes/pixel of feature I/O (~5% at C=64).
-  * v4 (this version) attacks the remaining bandwidth wall (VERDICT r2
-    item 4):
+  * v4 (this version) was the decisive swing (VERDICT r2 item 4):
       - bf16 feature I/O: the kernel always computed in f32 IN-REGISTER
         and wrote x.dtype, but the CALLER up-cast to f32 first — on a
         bandwidth-bound op with a bf16 network that doubles both the read
@@ -46,6 +45,22 @@ Kernel design (deliberately different from the CUDA formulation):
         tables are tiled to 128 lanes.  The soft mask IS pixel-resolution,
         so the masked path ships two half-width planes (even/odd columns)
         and multiplies each half of the 128 lanes separately.
+
+STATUS — parity-contract artifact, NOT the production path (VERDICT r2
+item 4 verdict, measured outputs/r3/kernel_bench_bf16.json, bf16 + mask,
+fori-chained, sync-corrected):
+    yolov8n 3-scale total   bs=32: v4 3.48ms vs XLA single-pass 3.53ms
+                            bs=128: v4 5.03ms vs XLA single-pass 3.39ms
+v4 closed most of v3's gap (P4/P5 now match or beat XLA) but the packed
+P3 at bs=128 sits at ~81 GB/s vs XLA's ~173 GB/s: the XLA compose derives
+the bit selection in-register from the tiny (B, Ht, Wt) map (zero extra
+HBM traffic, and it fuses into neighbors), while any kernel formulation
+that ships pixel-resolution scalar planes pays for them.  A block-budget
+sweep (512KB..4MB) moved bs=128-P3 by <6%, so this is not a pipelining
+knob.  `backend='auto'` therefore stays on the XLA single-pass
+(core/quantization.py); this kernel is kept as the faithful equivalent of
+the reference's CUDA kernel (reference ops/src/mcaq_kernel.cu:29-95) with
+the same parity contract, selectable with `backend='pallas'`.
 
 A pure-jnp/XLA reference (`spatial_quantize_reference`) implements identical
 math via the static 7-plane compose; the parity test
