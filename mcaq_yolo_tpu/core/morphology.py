@@ -294,6 +294,7 @@ def compute_phi_tiles(
     binarize_impl: str = "adaptive",
     contour_components: bool = True,
     metric_mode: str = "tiled",
+    downsample: int = 1,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Compute the 8-D per-tile morphological descriptor vector.
 
@@ -316,6 +317,17 @@ def compute_phi_tiles(
         pre-fix; whole-image Otsu vs per-tile Otsu is the dominant cause).
       'global' — the reference surrogate's whole-image semantics
         (reference morphology.py:826-873), kept for comparison/ablation.
+
+    downsample (default 1 = reference-faithful): run the metric operators
+      on a `downsample`x average-pooled gray map — an OPT-IN throughput
+      lever (4x less metric arithmetic at 2x) for deployments where the
+      morphology pipeline shows up in the profile.  The tile GRID is
+      unchanged (tile size shrinks with the image), so phi shapes and the
+      downstream bit-allocation contract are identical; per-tile values
+      are a half-resolution estimate of the same statistics.  The factor
+      auto-degrades per scale so tile_size/downsample stays >= 4 (the
+      metric kernels' minimum support): at yolov8 geometry a 2x request
+      applies at P3 and self-disables at P4/P5.
     """
     if jnp.issubdtype(features.dtype, jnp.integer):
         # uint8 images from the data pipeline: normalize in-graph (the
@@ -328,6 +340,16 @@ def compute_phi_tiles(
 
     feats = lax.stop_gradient(features.astype(jnp.float32))
     gray = feats[:, :Hc, :Wc, :].mean(axis=-1)  # (B, Hc, Wc)
+    if downsample > 1:
+        # per-scale auto-degrade: the metric kernels need tile >= 4, so a
+        # 2x request applies at P3 (tile 8+) and self-disables at P4/P5
+        # (tile 4) — which is where almost none of the pixels are anyway
+        ds = downsample
+        while ds > 1 and tile // ds < 4:
+            ds //= 2
+        if ds > 1:
+            gray = iops.avg_pool(gray, ds)  # (B, Hc/ds, Wc/ds)
+            tile //= ds
     gray = iops.normalize01(gray)  # per-image (mirrors the uint8 conversion)
 
     if metric_mode == "tiled":
@@ -494,6 +516,7 @@ class MorphologicalComplexityAnalyzer(nn.Module):
     binarize_impl: str = "adaptive"
     contour_components: bool = True
     metric_mode: str = "tiled"  # 'tiled' (cv2-parity, default) | 'global'
+    downsample: int = 1  # opt-in throughput lever (compute_phi_tiles doc)
 
     def setup(self):
         self.complexity_mlp = ComplexityMLP()
@@ -509,6 +532,7 @@ class MorphologicalComplexityAnalyzer(nn.Module):
             binarize_impl=self.binarize_impl,
             contour_components=self.contour_components,
             metric_mode=self.metric_mode,
+            downsample=self.downsample,
         )
 
     def __call__(self, features: jnp.ndarray, return_detailed: bool = False):

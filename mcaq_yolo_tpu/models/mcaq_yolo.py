@@ -59,6 +59,7 @@ class MCAQYOLO(nn.Module):
     calibration_mode: str = "minmax"
     smooth_transitions: bool = True
     quant_backend: str = "auto"  # eval-path backend: 'auto' | 'pallas' | 'jnp'
+    morph_downsample: int = 1  # opt-in metric-pipeline throughput lever
     dtype: jnp.dtype = jnp.float32  # bf16 network compute; MCAQ math stays fp32
 
     def setup(self):
@@ -67,7 +68,7 @@ class MCAQYOLO(nn.Module):
         self.head = DetectHead(self.num_classes, self.variant, dtype=self.dtype)
 
         self.complexity_analyzer = MorphologicalComplexityAnalyzer(
-            grid_size=self.grid_size
+            grid_size=self.grid_size, downsample=self.morph_downsample
         )
         if self.bit_mapping == "linear":
             self.bit_mapper = LinearBitMapper(self.min_bits, self.max_bits)

@@ -106,3 +106,29 @@ def test_otsu_threshold_bimodal():
     # mode) — same tie-breaking as the reference's torch.argmax.  The
     # threshold must separate the two modes.
     assert 0.25 < float(thr[0, 0, 0]) < 0.75
+
+
+def test_phi_downsample_contract(rng):
+    """Opt-in morphology downsample (MFU lever): identical phi SHAPES and
+    ranges, strongly correlated values at 2x, auto-degrade at tile=4."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mcaq_yolo_tpu.core.morphology import compute_phi_tiles
+
+    # textured + flat regions so correlation is meaningful
+    x = rng.random((2, 64, 64, 8), dtype=np.float32)
+    x[:, :32] = 0.5  # flat half
+    phi_full, _ = compute_phi_tiles(jnp.asarray(x), grid_size=8)
+    phi_ds, _ = compute_phi_tiles(jnp.asarray(x), grid_size=8, downsample=2)
+    assert phi_ds.shape == phi_full.shape
+    a = np.asarray(phi_full).reshape(-1)
+    b = np.asarray(phi_ds).reshape(-1)
+    assert np.all(b >= -1e-6) and np.all(b <= 1 + 1e-6)
+    r = np.corrcoef(a, b)[0, 1]
+    assert r > 0.7, f"downsampled phi decorrelated: r={r:.3f}"
+
+    # tile=4 map (P5-like): downsample must self-disable, not crash
+    small = rng.random((1, 20, 20, 8), dtype=np.float32)
+    p1, _ = compute_phi_tiles(jnp.asarray(small), grid_size=8)
+    p2, _ = compute_phi_tiles(jnp.asarray(small), grid_size=8, downsample=2)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=0)
