@@ -214,41 +214,50 @@ def main():
     variant = os.environ.get("BENCH_VARIANT", "yolov8n")
     quick = os.environ.get("BENCH_QUICK", "0") == "1"
 
-    headline = _infer_imgs_per_sec(variant, batch, img, iters, dtype)
-
-    extra = {}
-    if not quick:
-        sweep = {f"bs{batch}": round(headline, 1)}
-        for b in (128, 256):
-            sweep[f"bs{b}"] = round(
-                _infer_imgs_per_sec(variant, b, img, max(4, iters // 4), dtype), 1)
-        extra["infer_sweep_imgs_per_sec"] = sweep
-        # the DEPLOYED path: forward + decode + NMS (VERDICT r2 item 2)
+    # HEADLINE = the best DEPLOYABLE configuration (VERDICT r2 item 2):
+    # forward + box decode + NMS — the program the Predictor actually runs
+    # (reference inference.py:194-243) — best over the batch sweep.
+    if quick:
+        headline = _infer_imgs_per_sec(variant, batch, img, iters, dtype,
+                                       e2e=True)
+        e2e_sweep = {f"bs{batch}": round(headline, 1)}
+        extra = {}
+    else:
         e2e_sweep = {}
         for b in (batch, 128, 256):
             e2e_sweep[f"bs{b}"] = round(
                 _infer_imgs_per_sec(variant, b, img, max(4, iters // 4),
                                     dtype, e2e=True), 1)
-        extra["e2e_decode_nms_imgs_per_sec"] = e2e_sweep
-        best = max(sweep.values())
+        headline = max(e2e_sweep.values())
+
+        extra = {}
+        sweep = {}
+        for b in (batch, 128, 256):
+            sweep[f"bs{b}"] = round(
+                _infer_imgs_per_sec(variant, b, img, max(4, iters // 4),
+                                    dtype), 1)
+        extra["fwd_only_sweep_imgs_per_sec"] = sweep
+        best_fwd = max(sweep.values())
         gflops = GFLOPS_640.get(variant)
         if gflops and img == 640:
-            extra["mfu_pct_bf16_peak"] = round(
-                best * gflops / 1e3 / V5E_BF16_PEAK_TFLOPS * 100, 2)
+            extra["fwd_mfu_pct_bf16_peak"] = round(
+                best_fwd * gflops / 1e3 / V5E_BF16_PEAK_TFLOPS * 100, 2)
+            extra["e2e_mfu_pct_bf16_peak"] = round(
+                headline * gflops / 1e3 / V5E_BF16_PEAK_TFLOPS * 100, 2)
         extra["infer_pallas_backend_imgs_per_sec"] = round(
             _infer_imgs_per_sec(variant, batch, img, max(4, iters // 2),
                                 dtype, backend="pallas"), 1)
         extra["train_yolov8m_bs32_imgs_per_sec_per_chip"] = round(
             _train_imgs_per_sec("yolov8m", 32, img, max(4, iters // 4)), 1)
+    extra["e2e_decode_nms_sweep_imgs_per_sec"] = e2e_sweep
 
     result = {
-        "metric": f"{variant}_mcaq_infer_640_images_per_sec_per_chip",
+        "metric": f"{variant}_mcaq_e2e_infer_640_images_per_sec_per_chip",
         "value": round(headline, 2),
         "unit": "images/sec",
         "vs_baseline": round(headline / PAPER_FPS_BASELINE, 3),
+        "extra": extra,
     }
-    if extra:
-        result["extra"] = extra
     print(json.dumps(result))
     return result
 

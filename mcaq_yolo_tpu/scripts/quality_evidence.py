@@ -88,27 +88,35 @@ def _deployed_bitmap_stats(model, variables, val_loader, max_batches=2):
     def fwd(variables, images):
         _, aux = model.apply(variables, images, temperature=1.0,
                              quantize=True, training=False)
-        return aux["bit_map"]
+        return aux["bit_map"], aux["complexity_map"]
 
-    stds, all_bits = [], []
+    stds, cont_stds, cplx_stds, all_bits = [], [], [], []
     for i, batch in enumerate(val_loader):
-        maps = jax.device_get(fwd(variables, jnp.asarray(batch["image"])))
-        for m in maps:  # per scale: (B, Ht, Wt)
-            m = np.round(np.asarray(m))
-            stds.extend(m.reshape(m.shape[0], -1).std(axis=1).tolist())
-            all_bits.extend(m.reshape(-1).tolist())
+        maps, cmaps = jax.device_get(fwd(variables,
+                                         jnp.asarray(batch["image"])))
+        for m, c in zip(maps, cmaps):  # per scale: (B, Ht, Wt)
+            m = np.asarray(m, np.float64)
+            cont_stds.extend(m.reshape(m.shape[0], -1).std(axis=1).tolist())
+            r = np.round(m)
+            stds.extend(r.reshape(r.shape[0], -1).std(axis=1).tolist())
+            all_bits.extend(r.reshape(-1).tolist())
+            c = np.asarray(c, np.float64)
+            cplx_stds.extend(c.reshape(c.shape[0], -1).std(axis=1).tolist())
         if i + 1 >= max_batches:
             break
     hist = {int(b): int((np.asarray(all_bits) == b).sum())
             for b in range(2, 9)}
     return {"rounded_map_spatial_std_mean": float(np.mean(stds)),
             "rounded_map_spatial_std_max": float(np.max(stds)),
+            "continuous_map_spatial_std_mean": float(np.mean(cont_stds)),
+            "complexity_map_spatial_std_mean": float(np.mean(cplx_stds)),
             "bit_histogram": hist}
 
 
 def run(img_size=640, epochs=60, n_images=192, batch_size=16,
         variant="yolov8n", root="outputs/quality_evidence_v2", seed=0,
-        kd_epochs=0, fp_epochs=None, n_val=None, lr=2e-3):
+        kd_epochs=0, fp_epochs=None, n_val=None, lr=2e-3,
+        target_bits=4.0, arms="abc", fp_ckpt=None, lambda_smooth=0.1):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -148,12 +156,13 @@ def run(img_size=640, epochs=60, n_images=192, batch_size=16,
             "batch_size": batch_size,
             "learning_rate": lr,
             "quantization": {"min_bits": 2, "max_bits": 8,
-                             "target_bits": 4.0, "grid_size": 8,
+                             "target_bits": target_bits, "grid_size": 8,
                              "bit_mapping": "mlp",
                              "normalize_complexity": True},
             "curriculum": {"enabled": True, "warmup_epochs": warmup,
                            "transition_epochs": transition,
-                           "initial_temperature": 10.0},
+                           "initial_temperature": 10.0,
+                           "lambda_smooth": lambda_smooth},
             "distillation": {"enabled": False},
             "training": {"map_interval": max(1, n_epochs // 8), "amp": True},
             "seed": seed,
@@ -163,107 +172,135 @@ def run(img_size=640, epochs=60, n_images=192, batch_size=16,
     table = {"config": {"variant": variant, "img_size": img_size,
                         "epochs": epochs, "fp_epochs": fp_epochs,
                         "n_images": n_images, "n_val": n_val, "seed": seed,
+                        "target_bits": target_bits, "arms": arms,
+                        "lambda_smooth": lambda_smooth,
                         "dataset": "synthetic_v2"}}
+    t0 = time.time()
+    fp_arm = mcaq_arm = None
+    mcaq_trainer = None
+
+    def make_val_loader():
+        """Standalone val loader (when neither arm A nor B trained here)."""
+        data = load_dataset_yaml(yaml_path)
+        return DataLoader(
+            YOLODataset(data["val"], img_size, 16, augment=False),
+            batch_size, shuffle=False,
+        )
 
     # ---------------- arm A: FP32-trained baseline -----------------------
-    t0 = time.time()
-    fp_cfg = base_config(root / "train_fp", fp_epochs)
-    # pin the curriculum to Stage 1 for the whole run: quantization never
-    # activates, loss is pure detection — a true FP baseline
-    fp_cfg["curriculum"]["warmup_epochs"] = fp_epochs + 1
-    fp_cfg["curriculum"]["transition_epochs"] = fp_epochs + 2
-    fp_trainer = Trainer(fp_cfg)
-    fp_res = fp_trainer.train()
-    fp_vars = fp_trainer._variables()
-    fp_arm = _eval_quantized_arm(fp_trainer.model, fp_vars,
-                                 fp_trainer.val_loader, n_classes,
-                                 quantize=False)
-    fp_arm["best_map50_during_training"] = fp_res["best_map50"]
-    fp_arm["wall_time_s"] = round(time.time() - t0, 1)
-    table["fp_trained_arm"] = fp_arm
-    fp_ckpt = root / "train_fp" / (
-        "best.ckpt" if (root / "train_fp" / "best.ckpt").exists()
-        else "last.ckpt")
+    if "a" in arms:
+        fp_cfg = base_config(root / "train_fp", fp_epochs)
+        # pin the curriculum to Stage 1 for the whole run: quantization never
+        # activates, loss is pure detection — a true FP baseline
+        fp_cfg["curriculum"]["warmup_epochs"] = fp_epochs + 1
+        fp_cfg["curriculum"]["transition_epochs"] = fp_epochs + 2
+        fp_trainer = Trainer(fp_cfg)
+        fp_res = fp_trainer.train()
+        fp_vars = fp_trainer._variables()
+        fp_arm = _eval_quantized_arm(fp_trainer.model, fp_vars,
+                                     fp_trainer.val_loader, n_classes,
+                                     quantize=False)
+        fp_arm["best_map50_during_training"] = fp_res["best_map50"]
+        fp_arm["wall_time_s"] = round(time.time() - t0, 1)
+        table["fp_trained_arm"] = fp_arm
+        fp_ckpt = root / "train_fp" / (
+            "best.ckpt" if (root / "train_fp" / "best.ckpt").exists()
+            else "last.ckpt")
+    elif fp_ckpt is not None:
+        # reuse a previously-trained arm-A checkpoint (equal-budget KD /
+        # spread arms don't re-pay the FP baseline's wall-clock)
+        fp_ckpt = Path(fp_ckpt)
 
     # ---------------- arm B: MCAQ-trained --------------------------------
-    t1 = time.time()
-    mcaq_cfg = base_config(root / "train_mcaq", epochs)
-    mcaq_trainer = Trainer(mcaq_cfg)
-    mcaq_res = mcaq_trainer.train()
-    mcaq_vars = mcaq_trainer._variables()
-    mcaq_arm = _eval_quantized_arm(mcaq_trainer.model, mcaq_vars,
-                                   mcaq_trainer.val_loader, n_classes,
-                                   quantize=True)
-    mcaq_arm["compression"] = round(32.0 / max(mcaq_arm["avg_bits"], 1e-9), 2)
-    mcaq_arm["best_map50_during_training"] = mcaq_res["best_map50"]
-    mcaq_arm.update(_deployed_bitmap_stats(
-        mcaq_trainer.model, mcaq_vars, mcaq_trainer.val_loader))
-    mcaq_arm["wall_time_s"] = round(time.time() - t1, 1)
-    table["mcaq_trained_arm"] = mcaq_arm
+    if "b" in arms:
+        t1 = time.time()
+        mcaq_cfg = base_config(root / "train_mcaq", epochs)
+        mcaq_trainer = Trainer(mcaq_cfg)
+        mcaq_res = mcaq_trainer.train()
+        mcaq_vars = mcaq_trainer._variables()
+        mcaq_arm = _eval_quantized_arm(mcaq_trainer.model, mcaq_vars,
+                                       mcaq_trainer.val_loader, n_classes,
+                                       quantize=True)
+        mcaq_arm["compression"] = round(
+            32.0 / max(mcaq_arm["avg_bits"], 1e-9), 2)
+        mcaq_arm["best_map50_during_training"] = mcaq_res["best_map50"]
+        mcaq_arm.update(_deployed_bitmap_stats(
+            mcaq_trainer.model, mcaq_vars, mcaq_trainer.val_loader))
+        mcaq_arm["wall_time_s"] = round(time.time() - t1, 1)
+        table["mcaq_trained_arm"] = mcaq_arm
 
     # ---------------- arm C: post-hoc quantized FP -----------------------
-    t2 = time.time()
-    posthoc_model = MCAQYOLO(variant=variant, num_classes=n_classes,
-                             bit_mapping="linear", grid_size=8,
-                             normalize_complexity=True)
-    dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
-    posthoc_vars = posthoc_model.init(jax.random.PRNGKey(0), dummy,
-                                      training=False)
-    payload = serialization.msgpack_restore(fp_ckpt.read_bytes())
+    if "c" in arms:
+        t2 = time.time()
+        posthoc_model = MCAQYOLO(variant=variant, num_classes=n_classes,
+                                 bit_mapping="linear", grid_size=8,
+                                 normalize_complexity=True)
+        dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
+        posthoc_vars = posthoc_model.init(jax.random.PRNGKey(0), dummy,
+                                          training=False)
+        payload = serialization.msgpack_restore(fp_ckpt.read_bytes())
 
-    def overlay(dst, src):
-        out = dict(dst)
-        for k, v in dst.items():
-            if src is None or k not in src:
-                continue
-            if isinstance(v, dict):
-                out[k] = overlay(v, src[k])
-            elif tuple(getattr(src[k], "shape", ())) == tuple(v.shape):
-                out[k] = jnp.asarray(src[k], v.dtype)
-        return out
+        def overlay(dst, src):
+            out = dict(dst)
+            for k, v in dst.items():
+                if src is None or k not in src:
+                    continue
+                if isinstance(v, dict):
+                    out[k] = overlay(v, src[k])
+                elif tuple(getattr(src[k], "shape", ())) == tuple(v.shape):
+                    out[k] = jnp.asarray(src[k], v.dtype)
+            return out
 
-    posthoc_vars = {
-        k: overlay(posthoc_vars.get(k, {}), payload.get(k))
-        for k in ("params", "batch_stats", "quant_stats", "buffers")
-    }
-    calib_loader = DataLoader(
-        YOLODataset(fp_trainer.train_dataset.img_dir, img_size, 16,
-                    augment=False),
-        batch_size, shuffle=False,
-    )
-    posthoc_vars = calibrate(posthoc_model, posthoc_vars, calib_loader,
-                             num_images=min(n_images, 256))
-    posthoc_arm = _eval_quantized_arm(posthoc_model, posthoc_vars,
-                                      mcaq_trainer.val_loader, n_classes,
-                                      quantize=True)
-    posthoc_arm["compression"] = round(
-        32.0 / max(posthoc_arm["avg_bits"], 1e-9), 2)
-    posthoc_arm["wall_time_s"] = round(time.time() - t2, 1)
-    table["posthoc_quant_arm"] = posthoc_arm
+        posthoc_vars = {
+            k: overlay(posthoc_vars.get(k, {}), payload.get(k))
+            for k in ("params", "batch_stats", "quant_stats", "buffers")
+        }
+        train_dir = load_dataset_yaml(yaml_path)["train"]
+        calib_loader = DataLoader(
+            YOLODataset(train_dir, img_size, 16, augment=False),
+            batch_size, shuffle=False,
+        )
+        posthoc_vars = calibrate(posthoc_model, posthoc_vars, calib_loader,
+                                 num_images=min(n_images, 256))
+        val_loader = (mcaq_trainer.val_loader if mcaq_trainer is not None
+                      else make_val_loader())
+        posthoc_arm = _eval_quantized_arm(posthoc_model, posthoc_vars,
+                                          val_loader, n_classes,
+                                          quantize=True)
+        posthoc_arm["compression"] = round(
+            32.0 / max(posthoc_arm["avg_bits"], 1e-9), 2)
+        posthoc_arm["wall_time_s"] = round(time.time() - t2, 1)
+        table["posthoc_quant_arm"] = posthoc_arm
 
-    # ---------------- deltas (the BASELINE quality contract) -------------
-    table["delta_mcaq_vs_fp_map50_95"] = round(
-        mcaq_arm["map50_95"] - fp_arm["map50_95"], 4)
-    table["delta_posthoc_vs_fp_map50_95"] = round(
-        posthoc_arm["map50_95"] - fp_arm["map50_95"], 4)
-    table["mcaq_recovers_over_posthoc_map50_95"] = round(
-        mcaq_arm["map50_95"] - posthoc_arm["map50_95"], 4)
+        # -------- deltas (the BASELINE quality contract) -----------------
+        if fp_arm is not None:
+            table["delta_posthoc_vs_fp_map50_95"] = round(
+                posthoc_arm["map50_95"] - fp_arm["map50_95"], 4)
+        if mcaq_arm is not None:
+            table["mcaq_recovers_over_posthoc_map50_95"] = round(
+                mcaq_arm["map50_95"] - posthoc_arm["map50_95"], 4)
+    if fp_arm is not None and mcaq_arm is not None:
+        table["delta_mcaq_vs_fp_map50_95"] = round(
+            mcaq_arm["map50_95"] - fp_arm["map50_95"], 4)
 
     # raw-map FP-vs-quantized divergence on the MCAQ arm (reference
     # evaluation.py:310-341)
-    fwd = jax.jit(
-        lambda imgs, q: mcaq_trainer.model.apply(
-            mcaq_vars, imgs, temperature=1.0, quantize=q, training=False
-        )[0],
-        static_argnums=(1,),
-    )
-    div = evaluate_quantization_impact(
-        lambda im: fwd(jnp.asarray(im["image"] if isinstance(im, dict) else im), False),
-        lambda im: fwd(jnp.asarray(im["image"] if isinstance(im, dict) else im), True),
-        mcaq_trainer.val_loader, max_batches=2,
-    )
-    div.pop("per_image", None)
-    table["raw_map_divergence"] = div
+    if mcaq_trainer is not None:
+        fwd = jax.jit(
+            lambda imgs, q: mcaq_trainer.model.apply(
+                mcaq_vars, imgs, temperature=1.0, quantize=q, training=False
+            )[0],
+            static_argnums=(1,),
+        )
+        div = evaluate_quantization_impact(
+            lambda im: fwd(jnp.asarray(
+                im["image"] if isinstance(im, dict) else im), False),
+            lambda im: fwd(jnp.asarray(
+                im["image"] if isinstance(im, dict) else im), True),
+            mcaq_trainer.val_loader, max_batches=2,
+        )
+        div.pop("per_image", None)
+        table["raw_map_divergence"] = div
 
     # ---------------- KD arm ---------------------------------------------
     if kd_epochs > 0:
@@ -281,12 +318,15 @@ def run(img_size=640, epochs=60, n_images=192, batch_size=16,
                                      kd_trainer.val_loader, n_classes,
                                      quantize=True)
         kd_arm["best_map50_during_training"] = kd_res["best_map50"]
+        kd_arm.update(_deployed_bitmap_stats(
+            kd_trainer.model, kd_vars, kd_trainer.val_loader))
         final = kd_trainer.history[-1] if kd_trainer.history else {}
         kd_arm["final_kd_loss"] = final.get("loss_kd")
         kd_arm["wall_time_s"] = round(time.time() - t3, 1)
         table["kd_arm"] = kd_arm
-        table["delta_kd_vs_mcaq_map50_95"] = round(
-            kd_arm["map50_95"] - mcaq_arm["map50_95"], 4)
+        if mcaq_arm is not None:
+            table["delta_kd_vs_mcaq_map50_95"] = round(
+                kd_arm["map50_95"] - mcaq_arm["map50_95"], 4)
 
     table["wall_time_s"] = round(time.time() - t0, 1)
     return table
@@ -305,11 +345,21 @@ def main(argv=None):
     p.add_argument("--out", default=None)
     p.add_argument("--kd-epochs", type=int, default=0,
                    help="also run the FP-teacher-export + KD-student arm")
+    p.add_argument("--target-bits", type=float, default=4.0)
+    p.add_argument("--arms", default="abc",
+                   help="which arms to train here (subset of 'abc'; arms "
+                        "needing the FP ckpt can reuse one via --fp-ckpt)")
+    p.add_argument("--fp-ckpt", default=None,
+                   help="existing arm-A checkpoint to reuse when 'a' is "
+                        "not in --arms")
+    p.add_argument("--lambda-smooth", type=float, default=0.1)
     args = p.parse_args(argv)
     table = run(args.img_size, args.epochs, args.n_images,
                 batch_size=args.batch_size, variant=args.variant,
                 root=args.root, seed=args.seed, kd_epochs=args.kd_epochs,
-                fp_epochs=args.fp_epochs)
+                fp_epochs=args.fp_epochs, target_bits=args.target_bits,
+                arms=args.arms, fp_ckpt=args.fp_ckpt,
+                lambda_smooth=args.lambda_smooth)
     s = json.dumps(table, indent=2, default=float)
     print(s)
     if args.out:
