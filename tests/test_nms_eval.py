@@ -53,6 +53,71 @@ def test_nms_conf_gate():
     assert int(v.sum()) == 0
 
 
+def _greedy_nms_numpy(boxes, scores, iou_thr):
+    """Sequential greedy NMS (the torchvision/Ultralytics semantics the
+    fixed-point iteration must reproduce exactly).  Single class."""
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    for i in order:
+        ok = True
+        for j in keep:
+            a, b = boxes[i], boxes[j]
+            lt = np.maximum(a[:2], b[:2])
+            rb = np.minimum(a[2:], b[2:])
+            wh = np.clip(rb - lt, 0, None)
+            inter = wh[0] * wh[1]
+            ua = ((a[2] - a[0]) * (a[3] - a[1])
+                  + (b[2] - b[0]) * (b[3] - b[1]) - inter)
+            if inter / (ua + 1e-7) > iou_thr:
+                ok = False
+                break
+        if ok:
+            keep.append(i)
+    return sorted(keep)
+
+
+def test_nms_fixed_point_matches_sequential_greedy():
+    """Randomized exactness check: the while-loop fixed-point suppression
+    must equal sequential greedy NMS, including deep suppression chains."""
+    rng = np.random.default_rng(0)
+    for trial in range(8):
+        n = 64
+        # clustered boxes -> dense overlap graph with multi-level chains
+        centers = rng.uniform(20, 80, (n, 2))
+        wh = rng.uniform(10, 40, (n, 2))
+        boxes = np.concatenate([centers - wh / 2, centers + wh / 2], 1)
+        scores = rng.uniform(0.3, 1.0, n).astype(np.float32)
+        expected = _greedy_nms_numpy(boxes, scores, 0.45)
+
+        b, s, c, v = non_max_suppression(
+            jnp.asarray(boxes, jnp.float32), jnp.asarray(scores[:, None]),
+            conf_threshold=0.25, iou_threshold=0.45, max_det=n, pre_topk=n,
+            class_agnostic=True,
+        )
+        got_scores = np.sort(np.asarray(s)[np.asarray(v)])[::-1]
+        exp_scores = np.sort(scores[expected])[::-1]
+        np.testing.assert_allclose(got_scores, exp_scores, atol=1e-6,
+                                   err_msg=f"trial {trial}")
+
+
+def test_nms_suppression_chain():
+    """A->B->C chain: A suppresses B, so C (overlapping only B) is kept.
+    One-sweep approximations (YOLACT Fast-NMS) get this wrong."""
+    boxes = jnp.asarray(
+        [[0, 0, 10, 10],      # A, top score
+         [4, 0, 14, 10],      # B: IoU(A,B)=6/14>0.45 -> suppressed by A
+         [9, 0, 19, 10]],     # C: IoU(B,C)=5/15>0.45 iou w/ B, IoU(A,C)=1/19
+        jnp.float32,
+    )
+    scores = jnp.asarray([[0.9], [0.8], [0.7]], jnp.float32)
+    _, s, _, v = non_max_suppression(
+        boxes, scores, conf_threshold=0.25, iou_threshold=0.3,
+        max_det=3, pre_topk=3, class_agnostic=True,
+    )
+    kept = sorted(np.asarray(s)[np.asarray(v)].tolist(), reverse=True)
+    np.testing.assert_allclose(kept, [0.9, 0.7], atol=1e-6)
+
+
 def test_ap_perfect_detection():
     preds = [
         {"boxes": np.array([[0, 0, 10, 10]]), "scores": np.array([0.9]),
