@@ -25,7 +25,7 @@ from flax import serialization
 
 from .data.dataset import IMG_EXTS, letterbox, unletterbox_boxes
 from .models import MCAQYOLO
-from .models.yolo import decode_predictions
+from .models.yolo import decode_and_nms
 from .ops.nms import batched_nms
 
 
@@ -141,9 +141,8 @@ class Predictor:
         raw, aux = self.model.apply(
             variables, images, temperature=1.0, quantize=True, training=False
         )
-        boxes, scores, _, _ = decode_predictions(raw, self.num_classes)
-        det = batched_nms(
-            boxes, scores,
+        det = decode_and_nms(
+            raw, self.num_classes,
             conf_threshold=self.conf_threshold,
             iou_threshold=self.iou_threshold,
             max_det=self.max_det,

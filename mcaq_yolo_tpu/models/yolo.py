@@ -234,6 +234,51 @@ def decode_predictions(
     return boxes, scores, points, strides
 
 
+def decode_and_nms(
+    raw_maps: Sequence[jnp.ndarray],
+    num_classes: int,
+    conf_threshold: float = 0.25,
+    iou_threshold: float = 0.45,
+    max_det: int = 300,
+    pre_topk: int = 1024,
+    class_agnostic: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused deployed-path decode + NMS (the program `Predictor`/`eval_step`
+    run; reference inference.py:194-243 runs decode and Ultralytics NMS as
+    separate passes).
+
+    The per-anchor best class is reduced over LOGITS before the sigmoid
+    (sigmoid is monotone, so winners and scores are identical to
+    decode_predictions + batched_nms) — the (B, A, nc) per-class score
+    tensor is never materialized, which at bs=128/nc=80 removes a 344 MB
+    HBM round-trip from every forward."""
+    from ..ops.nms import batched_nms_from_best
+
+    B = raw_maps[0].shape[0]
+    feat_shapes = [m.shape[1:3] for m in raw_maps]
+    points, strides = make_anchors(feat_shapes)
+
+    flat = jnp.concatenate(
+        [m.reshape(B, -1, m.shape[-1]) for m in raw_maps], axis=1
+    )  # (B, A, 4*REG_MAX + nc)
+    box_dist = flat[..., : 4 * REG_MAX].reshape(B, -1, 4, REG_MAX)
+    cls_logits = flat[..., 4 * REG_MAX:]
+
+    dist = dfl_decode(box_dist)  # (B, A, 4) ltrb in feature units
+    lt, rb = dist[..., :2], dist[..., 2:]
+    x1y1 = (points[None] - lt) * strides[None]
+    x2y2 = (points[None] + rb) * strides[None]
+    boxes = jnp.concatenate([x1y1, x2y2], axis=-1)
+
+    best_score = jax.nn.sigmoid(cls_logits.max(axis=-1).astype(jnp.float32))
+    best_class = cls_logits.argmax(axis=-1).astype(jnp.int32)
+    return batched_nms_from_best(
+        boxes, best_score, best_class,
+        conf_threshold=conf_threshold, iou_threshold=iou_threshold,
+        max_det=max_det, pre_topk=pre_topk, class_agnostic=class_agnostic,
+    )
+
+
 class YOLOv8(nn.Module):
     """Plain (non-MCAQ) YOLOv8 — used as the FP32 teacher and as the base
     ablation arm.  Returns the raw per-scale Detect maps."""

@@ -57,9 +57,28 @@ def non_max_suppression(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Single-image NMS.  Returns (boxes (max_det, 4), scores (max_det,),
     classes (max_det,), valid (max_det,) bool), score-sorted."""
-    A, nc = scores.shape
     best_score = scores.max(axis=-1)
     best_class = scores.argmax(axis=-1).astype(jnp.int32)
+    return nms_from_best(boxes, best_score, best_class, conf_threshold,
+                         iou_threshold, max_det, pre_topk, class_agnostic)
+
+
+@partial(jax.jit, static_argnames=("max_det", "pre_topk", "class_agnostic"))
+def nms_from_best(
+    boxes: jnp.ndarray,       # (A, 4) xyxy
+    best_score: jnp.ndarray,  # (A,) per-anchor best-class score
+    best_class: jnp.ndarray,  # (A,) int32 per-anchor best class
+    conf_threshold: float = 0.25,
+    iou_threshold: float = 0.45,
+    max_det: int = 300,
+    pre_topk: int = 1024,
+    class_agnostic: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """NMS core on a pre-reduced (best_score, best_class) candidate set —
+    the fused deployed path (`decode_and_nms`) computes the class max over
+    logits inside decode so the (A, nc) score tensor is never
+    materialized."""
+    A = boxes.shape[0]
 
     # confidence gate by zeroing (static shape)
     best_score = jnp.where(best_score >= conf_threshold, best_score, 0.0)
@@ -120,3 +139,10 @@ def batched_nms(boxes, scores, **kwargs):
     detections."""
     fn = lambda b, s: non_max_suppression(b, s, **kwargs)
     return jax.vmap(fn)(boxes, scores)
+
+
+def batched_nms_from_best(boxes, best_scores, best_classes, **kwargs):
+    """vmap over the batch: (B, A, 4), (B, A), (B, A) int32 -> per-image
+    padded detections (fused deployed path)."""
+    fn = lambda b, s, c: nms_from_best(b, s, c, **kwargs)
+    return jax.vmap(fn)(boxes, best_scores, best_classes)

@@ -118,6 +118,38 @@ def test_nms_suppression_chain():
     np.testing.assert_allclose(kept, [0.9, 0.7], atol=1e-6)
 
 
+def test_fused_decode_and_nms_matches_separate_path():
+    """The fused deployed path (class-max over logits inside decode) must
+    produce bitwise-identical detections to decode_predictions +
+    batched_nms — sigmoid is monotone, so the per-anchor winner and its
+    score are unchanged."""
+    import jax
+
+    from mcaq_yolo_tpu.models.yolo import (
+        REG_MAX, decode_and_nms, decode_predictions)
+    from mcaq_yolo_tpu.ops.nms import batched_nms
+
+    rng = jax.random.PRNGKey(3)
+    nc, B = 7, 2
+    shapes = [(8, 8), (4, 4), (2, 2)]
+    raw_maps = []
+    for i, (h, w) in enumerate(shapes):
+        rng, k = jax.random.split(rng)
+        raw_maps.append(
+            jax.random.normal(k, (B, h, w, 4 * REG_MAX + nc), jnp.float32) * 2
+        )
+
+    kw = dict(conf_threshold=0.25, iou_threshold=0.45, max_det=32,
+              pre_topk=64)
+    boxes, scores, _, _ = decode_predictions(raw_maps, nc)
+    ref = batched_nms(boxes, scores, **kw)
+    got = decode_and_nms(raw_maps, nc, **kw)
+    for r, g, name in zip(ref, got, ("boxes", "scores", "classes", "valid")):
+        r, g = np.asarray(r), np.asarray(g)
+        valid = np.asarray(ref[3])
+        np.testing.assert_array_equal(g[valid], r[valid], err_msg=name)
+
+
 def test_ap_perfect_detection():
     preds = [
         {"boxes": np.array([[0, 0, 10, 10]]), "scores": np.array([0.9]),

@@ -140,3 +140,37 @@ def test_teacher_export_and_kd_init(trained, tmp_path):
     leaf_s = np.asarray(
         sv["backbone"]["ConvBnSiLU_0"]["Conv_0"]["kernel"])
     np.testing.assert_array_equal(leaf_t, leaf_s)
+
+
+def test_bit_mapper_excluded_from_weight_decay():
+    """The AdamW decay mask must mark every bit_mapper parameter False
+    (excluded) and detector parameters True — guarding against the
+    measured decay + |W|-projection collapse of the mapper MLP to a
+    constant b(C) (see weight_decay_mask docstring)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mcaq_yolo_tpu.models import MCAQYOLO
+    from mcaq_yolo_tpu.train import weight_decay_mask
+
+    model = MCAQYOLO(variant="yolov8n", num_classes=4, bit_mapping="mlp")
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32),
+                           training=False)
+    params = variables["params"]
+    mask = weight_decay_mask(params)
+    n_mapper = n_decayed = 0
+    for path, marked in jax.tree_util.tree_flatten_with_path(mask)[0]:
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        if "bit_mapper" in names:
+            assert marked is False, names
+            n_mapper += 1
+        else:
+            assert marked is True, names
+            n_decayed += 1
+    assert n_mapper > 0 and n_decayed > 0
+
+    # reference-behavior switch: everything decays
+    mask_ref = weight_decay_mask(params, decay_bit_mapper=True)
+    assert all(m is True
+               for _, m in jax.tree_util.tree_flatten_with_path(mask_ref)[0])
