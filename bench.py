@@ -99,8 +99,7 @@ def _infer_imgs_per_sec(variant, batch, img, iters, dtype, backend="auto",
         variables = jax.device_put(variables)
 
     if e2e:
-        from mcaq_yolo_tpu.models.yolo import decode_predictions
-        from mcaq_yolo_tpu.ops.nms import batched_nms
+        from mcaq_yolo_tpu.models.yolo import decode_and_nms
 
         @jax.jit
         def forward(variables, images):
@@ -108,9 +107,10 @@ def _infer_imgs_per_sec(variant, batch, img, iters, dtype, backend="auto",
                 variables, images, temperature=1.0, quantize=True,
                 training=False,
             )
-            boxes, scores, _, _ = decode_predictions(raw_maps, nc)
-            det = batched_nms(boxes, scores, conf_threshold=0.25,
-                              iou_threshold=0.45, max_det=300)
+            # the fused deployed program (Predictor/eval_step): class-max
+            # over logits inside decode, no (B, A, nc) score tensor
+            det = decode_and_nms(raw_maps, nc, conf_threshold=0.25,
+                                 iou_threshold=0.45, max_det=300)
             return det + (aux["avg_bits"],)
     else:
         @jax.jit
