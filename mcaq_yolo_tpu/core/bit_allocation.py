@@ -124,6 +124,46 @@ def _abs_xavier(gain: float):
     return init
 
 
+def _inv_softplus_abs_xavier(gain: float):
+    """theta init such that softplus(theta) == |xavier_uniform(gain)|."""
+    base = _abs_xavier(gain)
+
+    def init(key, shape, dtype=jnp.float32):
+        w = jnp.maximum(base(key, shape, dtype), 1e-4)
+        return jnp.log(jnp.expm1(w))
+
+    return init
+
+
+class MonotoneDense(nn.Module):
+    """Dense layer whose effective kernel is softplus(theta) — positive BY
+    PARAMETERIZATION, so Eq.18 monotonicity needs no post-step |W|
+    projection for this layer.
+
+    Why it exists (measured, r3): the reference's abs-projection
+    (reference bit_allocation.py:186-197, W.abs_() after every step) is a
+    zero-trap under a persistent downward loss pressure: the optimizer
+    pushes a kernel entry negative, the projection reflects it back, and
+    the entry oscillates in [0, lr_step] — the deployed mapper's deep
+    Dense kernels settle at ~1e-5 and b(C) degenerates to a constant
+    (spread 2.4e-5 over the full complexity range at the 4.0-bit target).
+    softplus(theta) shrinks smoothly instead and recovers symmetrically
+    when the detection loss wants bits back, so spatial allocation can
+    re-emerge.  The param is named 'theta' so `enforce_monotonic_params`
+    (which matches 'kernel'/'scale') leaves it alone."""
+
+    features: int
+    gain: float = 0.5
+
+    @nn.compact
+    def __call__(self, x):
+        theta = self.param("theta", _inv_softplus_abs_xavier(self.gain),
+                           (x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.constant(0.1),
+                          (self.features,))
+        return x @ jax.nn.softplus(theta) + bias
+
+
 class ComplexityToBitMappingNetwork(nn.Module):
     """Learnable complexity->bits MLP (paper Eq.13-17; reference
     bit_allocation.py:83-280).
@@ -146,6 +186,11 @@ class ComplexityToBitMappingNetwork(nn.Module):
     max_bits: int = 8
     hidden_dims: tuple = (32, 64, 32)
     enforce_monotonicity: bool = True
+    # 'abs' = reference parity: |xavier| init + post-step |W| projection
+    # (enforce_monotonic_params).  'softplus' = kernels are softplus(theta),
+    # positive by construction (see MonotoneDense for the measured
+    # zero-trap rationale); BatchNorm scales still use the |.| projection.
+    monotone_param: str = "abs"
 
     @nn.compact
     def __call__(
@@ -166,13 +211,28 @@ class ComplexityToBitMappingNetwork(nn.Module):
             nn.initializers.variance_scaling(0.25, "fan_avg", "uniform")
         )
         binit = nn.initializers.constant(0.1)
+        softplus = self.enforce_monotonicity and self.monotone_param == "softplus"
+
+        def dense(dim):
+            if softplus:
+                return MonotoneDense(dim)
+            return nn.Dense(dim, kernel_init=kinit, bias_init=binit)
+
+        # softplus mode also swaps ReLU for leaky-ReLU: the Lbit crush
+        # window (temperature-saturated stages, see MonotoneDense) drives
+        # hidden biases down until every ReLU unit is dead — an absorbing
+        # state with EXACTLY zero recovery gradient (measured: deployed
+        # b(C) constant to 2.4e-5).  A 0.05 negative slope is strictly
+        # increasing, so monotonicity is preserved and recovery gradients
+        # never vanish.
+        act = (lambda x: nn.leaky_relu(x, 0.05)) if softplus else nn.relu
 
         h = z0
         for dim in self.hidden_dims:
-            h = nn.Dense(dim, kernel_init=kinit, bias_init=binit)(h)
+            h = dense(dim)(h)
             h = nn.BatchNorm(use_running_average=not training, momentum=0.9)(h)
-            h = nn.relu(h)
-        h = nn.Dense(1, kernel_init=kinit, bias_init=binit)(h)
+            h = act(h)
+        h = dense(1)(h)
         h = nn.sigmoid(h)
 
         bit_map = self.min_bits + (self.max_bits - self.min_bits) * h

@@ -55,6 +55,7 @@ class MCAQYOLO(nn.Module):
     target_bits: float = 4.0
     grid_size: int = 8
     bit_mapping: str = "mlp"  # 'mlp' (Eq.13-17) | 'linear' (paper ablation)
+    monotone_param: str = "abs"  # 'abs' (reference Eq.18) | 'softplus'
     normalize_complexity: bool = False
     calibration_mode: str = "minmax"
     smooth_transitions: bool = True
@@ -74,7 +75,8 @@ class MCAQYOLO(nn.Module):
             self.bit_mapper = LinearBitMapper(self.min_bits, self.max_bits)
         else:
             self.bit_mapper = ComplexityToBitMappingNetwork(
-                self.min_bits, self.max_bits, hidden_dims=(32, 64, 32)
+                self.min_bits, self.max_bits, hidden_dims=(32, 64, 32),
+                monotone_param=self.monotone_param,
             )
         # one quantizer per scale: P3/P4/P5 channel counts differ
         self.quantizers = [

@@ -116,7 +116,8 @@ def _deployed_bitmap_stats(model, variables, val_loader, max_batches=2):
 def run(img_size=640, epochs=60, n_images=192, batch_size=16,
         variant="yolov8n", root="outputs/quality_evidence_v2", seed=0,
         kd_epochs=0, fp_epochs=None, n_val=None, lr=2e-3,
-        target_bits=4.0, arms="abc", fp_ckpt=None, lambda_smooth=0.1):
+        target_bits=4.0, arms="abc", fp_ckpt=None, lambda_smooth=0.1,
+        monotone_param="abs"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -158,6 +159,7 @@ def run(img_size=640, epochs=60, n_images=192, batch_size=16,
             "quantization": {"min_bits": 2, "max_bits": 8,
                              "target_bits": target_bits, "grid_size": 8,
                              "bit_mapping": "mlp",
+                             "monotone_param": monotone_param,
                              "normalize_complexity": True},
             "curriculum": {"enabled": True, "warmup_epochs": warmup,
                            "transition_epochs": transition,
@@ -174,6 +176,7 @@ def run(img_size=640, epochs=60, n_images=192, batch_size=16,
                         "n_images": n_images, "n_val": n_val, "seed": seed,
                         "target_bits": target_bits, "arms": arms,
                         "lambda_smooth": lambda_smooth,
+                        "monotone_param": monotone_param,
                         "dataset": "synthetic_v2"}}
     t0 = time.time()
     fp_arm = mcaq_arm = None
@@ -353,11 +356,14 @@ def main(argv=None):
                    help="existing arm-A checkpoint to reuse when 'a' is "
                         "not in --arms")
     p.add_argument("--lambda-smooth", type=float, default=0.1)
+    p.add_argument("--monotone-param", default="abs",
+                   choices=["abs", "softplus"])
     args = p.parse_args(argv)
     table = run(args.img_size, args.epochs, args.n_images,
                 batch_size=args.batch_size, variant=args.variant,
                 root=args.root, seed=args.seed, kd_epochs=args.kd_epochs,
                 fp_epochs=args.fp_epochs, target_bits=args.target_bits,
+                monotone_param=args.monotone_param,
                 arms=args.arms, fp_ckpt=args.fp_ckpt,
                 lambda_smooth=args.lambda_smooth)
     s = json.dumps(table, indent=2, default=float)

@@ -49,13 +49,33 @@ def timed(fn: Callable, *args, iters: int = 50, warmup: int = 3) -> float:
     return (time.perf_counter() - t0) / iters
 
 
-def component_breakdown(model, variables, images, iters: int = 30) -> Dict[str, float]:
+def _cost_analysis(jitted, *args) -> Dict[str, float]:
+    """XLA's own cost model for a jitted program: total flops and HBM bytes
+    accessed (lowered+compiled for the current default device).  Returns
+    zeros when the backend doesn't expose cost analysis."""
+    try:
+        compiled = jitted.lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):  # older jax returns [dict]
+            ca = ca[0] if ca else {}
+        return {"flops": float(ca.get("flops", 0.0)),
+                "bytes": float(ca.get("bytes accessed", 0.0))}
+    except Exception:
+        return {"flops": 0.0, "bytes": 0.0}
+
+
+def component_breakdown(model, variables, images, iters: int = 30,
+                        cost: bool = False) -> Dict[str, float]:
     """Millisecond attribution of the MCAQ inference forward.
 
     Times jitted sub-programs: full forward, backbone only,
     backbone+morphology (complexity maps), backbone+MCAQ (quantized feats),
     and derives per-stage deltas.  Sub-program boundaries follow the
     model's own structure (backbone_features / mcaq_transform / neck+head).
+
+    cost=True additionally returns XLA cost-model flops/bytes per
+    sub-program (`<stage>_gflops` / `<stage>_gb`), from which callers build
+    per-stage rooflines (achieved TFLOP/s and GB/s vs device ceilings).
     """
     model_apply = model.apply
 
@@ -91,10 +111,25 @@ def component_breakdown(model, variables, images, iters: int = 30) -> Dict[str, 
     t_cplx = timed(with_complexity, variables, images, iters=iters) * 1e3
     t_mcaq = timed(with_mcaq, variables, images, iters=iters) * 1e3
 
-    return {
+    out = {
         "full_ms": t_full,
         "backbone_ms": t_bb,
         "morphology_ms": t_cplx - t_bb,
         "bitmap_quantize_ms": t_mcaq - t_cplx,
         "neck_head_ms": t_full - t_mcaq,
     }
+    if cost:
+        progs = {"full": full, "backbone": backbone_only,
+                 "cum_complexity": with_complexity, "cum_mcaq": with_mcaq}
+        for name, prog in progs.items():
+            ca = _cost_analysis(prog, variables, images)
+            out[f"{name}_gflops"] = ca["flops"] / 1e9
+            out[f"{name}_gb"] = ca["bytes"] / 1e9
+        # per-stage deltas mirror the timing deltas
+        out["morphology_gflops"] = out["cum_complexity_gflops"] - out["backbone_gflops"]
+        out["morphology_gb"] = out["cum_complexity_gb"] - out["backbone_gb"]
+        out["bitmap_quantize_gflops"] = out["cum_mcaq_gflops"] - out["cum_complexity_gflops"]
+        out["bitmap_quantize_gb"] = out["cum_mcaq_gb"] - out["cum_complexity_gb"]
+        out["neck_head_gflops"] = out["full_gflops"] - out["cum_mcaq_gflops"]
+        out["neck_head_gb"] = out["full_gb"] - out["cum_mcaq_gb"]
+    return out

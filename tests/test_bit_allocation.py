@@ -67,6 +67,97 @@ def test_monotone_response():
     assert np.all(np.diff(flat) >= -1e-5)
 
 
+def _softplus_mlp_and_vars(seed=0):
+    mapper = ComplexityToBitMappingNetwork(min_bits=2, max_bits=8,
+                                           monotone_param="softplus")
+    c = jnp.asarray(np.random.default_rng(seed).random((2, 8, 8), np.float32))
+    variables = mapper.init(jax.random.PRNGKey(seed), c)
+    return mapper, variables, c
+
+
+def test_softplus_mapper_monotone_and_varying():
+    """softplus(theta) kernels are positive by construction: the transfer
+    curve must be monotone AND non-constant WITHOUT any projection step."""
+    mapper, variables, _ = _softplus_mlp_and_vars()
+    cs = jnp.linspace(0.0, 1.0, 16).reshape(1, 4, 4)
+    bits = mapper.apply(variables, cs, 1.0, True)  # continuous
+    flat = np.asarray(bits).reshape(-1)
+    assert np.all(np.diff(flat) >= -1e-5)
+    assert flat.max() - flat.min() > 1e-3  # not collapsed at init
+
+
+def test_softplus_mapper_projection_is_noop_on_theta():
+    """enforce_monotonic_params matches 'kernel'/'scale' names only; the
+    softplus mapper's raw theta (which may be negative) must pass through
+    untouched — projecting it would double-apply the positivity."""
+    mapper, variables, c = _softplus_mlp_and_vars()
+    projected = enforce_monotonic_params(variables["params"])
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(variables["params"])[0],
+        jax.tree_util.tree_flatten_with_path(projected)[0],
+    ):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in pa]
+        if "theta" in names:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            assert float(np.asarray(a).min()) < 0.0  # theta IS signed
+        if "scale" in names:  # BatchNorm scales still projected
+            assert bool(jnp.all(b >= 0.0))
+
+
+def test_softplus_mapper_no_zero_trap_dynamics():
+    """The abs-projection failure mode: a persistent downward Lbit
+    pressure during the temperature-saturated curriculum window drives the
+    mapper constant (measured: deployed b(C) spread 2.4e-5 at the 4.0-bit
+    target).  Modeled with TRAIN-mode BatchNorm (the real dynamics — BN
+    makes hidden-kernel scale a free parameter, so the last un-normalized
+    layer carries the gain), the softplus mapper must regain a
+    non-trivial monotone spread after a recovery phase."""
+    import optax
+
+    mapper, variables, _ = _softplus_mlp_and_vars(seed=1)
+    params, bstats = variables["params"], variables["batch_stats"]
+    cs = jnp.linspace(0.0, 1.0, 32).reshape(1, 1, 32)
+
+    opt = optax.adam(5e-3)
+    state = opt.init(params)
+
+    def fwd(p, bs):
+        return mapper.apply({"params": p, "batch_stats": bs}, cs, 1.0, True,
+                            training=True, mutable=["batch_stats"])
+
+    def down_loss(p, bs):  # Lbit-style: push mean output to bmin
+        bits, upd = fwd(p, bs)
+        return jnp.abs(bits.mean() - 2.0), upd["batch_stats"]
+
+    def spread_loss(p, bs):  # detection-style counter-pressure: want spread
+        bits, upd = fwd(p, bs)
+        loss = (-(bits[..., -1] - bits[..., 0]).mean()
+                + jnp.abs(bits.mean() - 4.0))
+        return loss, upd["batch_stats"]
+
+    @jax.jit
+    def step(p, s, bs, phase):
+        def obj(q):
+            ld, lu = down_loss(q, bs)
+            ls, su = spread_loss(q, bs)
+            return (jnp.where(phase, ls, ld),
+                    jax.tree.map(lambda a, b: jnp.where(phase, b, a), lu, su))
+        (_, new_bs), g = jax.value_and_grad(obj, has_aux=True)(p)
+        u, s = opt.update(g, s)
+        return optax.apply_updates(p, u), s, new_bs
+
+    for _ in range(300):  # collapse pressure
+        params, state, bstats = step(params, state, bstats, jnp.asarray(False))
+    for _ in range(300):  # recovery pressure
+        params, state, bstats = step(params, state, bstats, jnp.asarray(True))
+
+    bits = mapper.apply({"params": params, "batch_stats": bstats},
+                        cs, 1.0, True)  # eval mode, running stats
+    flat = np.asarray(bits).reshape(-1)
+    assert flat.max() - flat.min() > 0.1, "softplus mapper failed to recover spread"
+    assert np.all(np.diff(flat) >= -1e-4), "monotonicity violated"
+
+
 def test_linear_bit_mapper_spatial_variance():
     """A spatially varied map must produce varied bits spanning the range."""
     c = jnp.asarray(np.linspace(0, 1, 64, dtype=np.float32).reshape(1, 8, 8))
