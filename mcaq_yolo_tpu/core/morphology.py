@@ -221,11 +221,21 @@ def gradient_variance_tiles(gx: jnp.ndarray, gy: jnp.ndarray, tile: int) -> jnp.
     return v / (v + 1.0)
 
 
-def euler_components_tiles(m: jnp.ndarray, tile: int) -> jnp.ndarray:
+def euler_components_tiles(m: jnp.ndarray, tile: int,
+                           all_windows: bool = False) -> jnp.ndarray:
     """Per-tile 8-connected component count K via Gray's quad-pattern Euler
     number, fully vectorized (reference morphology.py:672-707):
     E8 = (Q1 - Q3 - 2 QD) / 4 over all 2x2 windows of the zero-padded mask.
-    m: (B, Hc, Wc) float {0,1} -> (B, ht, wt) with K >= 1."""
+    m: (B, Hc, Wc) float {0,1} -> (B, ht, wt) with K >= 1.
+
+    all_windows=True (per-tile metric mode, where each batch entry IS one
+    zero-padded tile) sums ALL (t+1)^2 windows — the exact Euler number.
+    The default replicates the reference surrogate's window->top-left-tile
+    attribution, which drops the bottom/right window row/col and
+    under-counts blobs touching that border (a documented reference
+    residual, reference morphology.py:688-691); the per-tile mode has no
+    reason to inherit that bias, and the exact count matches the cv2
+    per-tile contour backend."""
     B, Hc, Wc = m.shape
     mp = jnp.pad(m, ((0, 0), (1, 1), (1, 1)))  # zero pad closes border blobs
     # 2x2 window pattern index: 1*tl + 2*tr + 4*bl + 8*br  -> 0..15
@@ -246,14 +256,18 @@ def euler_components_tiles(m: jnp.ndarray, tile: int) -> jnp.ndarray:
     qd = count_in([6, 9])
     e = (q1 - q3 - 2.0 * qd) / 4.0  # per-window Euler contribution
 
-    ht, wt = Hc // tile, Wc // tile
-    e = e[:, : ht * tile, : wt * tile]
-    K = iops.avg_pool(e, tile) * float(tile * tile)
+    if all_windows:
+        K = e.sum(axis=(1, 2))[:, None, None]  # exact: all (H+1)(W+1) windows
+    else:
+        ht, wt = Hc // tile, Wc // tile
+        e = e[:, : ht * tile, : wt * tile]
+        K = iops.avg_pool(e, tile) * float(tile * tile)
     return jnp.clip(jnp.round(K), 1.0, None)
 
 
 def contour_complexity_tiles(
-    binmask: jnp.ndarray, tile: int, contour_components: bool = True
+    binmask: jnp.ndarray, tile: int, contour_components: bool = True,
+    euler_all_windows: bool = False,
 ) -> jnp.ndarray:
     """phi5: Eq.(24) mean inverse circularity per tile, Euler-K corrected
     (reference morphology.py:709-739).  boundary = mask - erode3(mask);
@@ -266,7 +280,7 @@ def contour_complexity_tiles(
 
     ic = (perim * perim) / (4.0 * math.pi * area + 1e-6)
     if contour_components:
-        K = euler_components_tiles(m, tile)
+        K = euler_components_tiles(m, tile, all_windows=euler_all_windows)
         ic = ic / K
     phi5 = 1.0 - 1.0 / jnp.clip(ic, 1.0, None)
     return jnp.where(area > 0, phi5, 0.0)
@@ -295,6 +309,7 @@ def compute_phi_tiles(
     contour_components: bool = True,
     metric_mode: str = "tiled",
     downsample: int = 1,
+    tile_engine: str = "lanes",
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Compute the 8-D per-tile morphological descriptor vector.
 
@@ -352,7 +367,18 @@ def compute_phi_tiles(
             tile //= ds
     gray = iops.normalize01(gray)  # per-image (mirrors the uint8 conversion)
 
-    if metric_mode == "tiled":
+    if metric_mode == "tiled" and tile_engine == "lanes":
+        # tiles-in-lanes engine (morphology_lanes.py): identical operator
+        # semantics, TPU-native layout — 128 tiles per vector lane row
+        # instead of an 8-wide minor axis padded 16x, and a sort-based
+        # per-tile Otsu instead of a (n_tiles, 256) scatter histogram
+        from . import morphology_lanes as ml
+
+        phi1, phi2, phi3, phi4, phi5 = ml.phi_metrics_tiled(
+            gray, tile, canny_impl, binarize_impl, contour_components
+        )
+        phi1 = phi1 / 2.0
+    elif metric_mode == "tiled":
         tiles, _, _ = extract_tiles(gray, tile)  # (B*ht*wt, tile, tile)
         gx, gy = iops.sobel(tiles, mode="edge")  # tile-local borders
         if canny_impl == "legacy":
@@ -372,7 +398,8 @@ def compute_phi_tiles(
         phi3 = per_tile(gradient_variance_tiles(gx, gy, tile))
         phi4 = per_tile(iops.avg_pool(edge, tile))
         phi5 = per_tile(
-            contour_complexity_tiles(binmask, tile, contour_components)
+            contour_complexity_tiles(binmask, tile, contour_components,
+                                     euler_all_windows=True)
         )
     else:
         gx, gy = iops.sobel(gray)  # plain Sobel for phi3 (Eq.22)
@@ -517,6 +544,7 @@ class MorphologicalComplexityAnalyzer(nn.Module):
     contour_components: bool = True
     metric_mode: str = "tiled"  # 'tiled' (cv2-parity, default) | 'global'
     downsample: int = 1  # opt-in throughput lever (compute_phi_tiles doc)
+    tile_engine: str = "lanes"  # 'lanes' (TPU-native layout) | 'rows'
 
     def setup(self):
         self.complexity_mlp = ComplexityMLP()
@@ -533,6 +561,7 @@ class MorphologicalComplexityAnalyzer(nn.Module):
             contour_components=self.contour_components,
             metric_mode=self.metric_mode,
             downsample=self.downsample,
+            tile_engine=self.tile_engine,
         )
 
     def __call__(self, features: jnp.ndarray, return_detailed: bool = False):
