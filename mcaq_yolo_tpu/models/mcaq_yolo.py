@@ -61,6 +61,7 @@ class MCAQYOLO(nn.Module):
     smooth_transitions: bool = True
     quant_backend: str = "auto"  # eval-path backend: 'auto' | 'pallas' | 'jnp'
     morph_downsample: int = 1  # opt-in metric-pipeline throughput lever
+    morph_tile_engine: str = "lanes"  # 'lanes' (TPU-native) | 'rows'
     dtype: jnp.dtype = jnp.float32  # bf16 network compute; MCAQ math stays fp32
 
     def setup(self):
@@ -69,7 +70,8 @@ class MCAQYOLO(nn.Module):
         self.head = DetectHead(self.num_classes, self.variant, dtype=self.dtype)
 
         self.complexity_analyzer = MorphologicalComplexityAnalyzer(
-            grid_size=self.grid_size, downsample=self.morph_downsample
+            grid_size=self.grid_size, downsample=self.morph_downsample,
+            tile_engine=self.morph_tile_engine,
         )
         if self.bit_mapping == "linear":
             self.bit_mapper = LinearBitMapper(self.min_bits, self.max_bits)

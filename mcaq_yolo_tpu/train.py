@@ -308,6 +308,10 @@ class Trainer:
             bit_mapping=str(qcfg.get("bit_mapping", "mlp")),
             monotone_param=str(qcfg.get("monotone_param", "abs")),
             normalize_complexity=bool(qcfg.get("normalize_complexity", False)),
+            morph_downsample=int(
+                config.get("morphology", {}).get("downsample", 1)),
+            morph_tile_engine=str(
+                config.get("morphology", {}).get("tile_engine", "lanes")),
             dtype=self.dtype,
         )
         self.loss_obj = MCAQYOLOLoss(self.num_classes,
