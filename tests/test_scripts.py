@@ -107,3 +107,16 @@ def test_quality_evidence_run_e2e(tmp_path):
     assert np.isfinite(table["raw_map_divergence"]["mean_divergence"])
     assert (tmp_path / "qe" / "teacher.ckpt").exists()
     assert np.isfinite(table["kd_arm"]["map50_95"])
+
+
+def test_profile_morphology_run():
+    """Sub-stage morphology profiler: every pipeline operator reports a
+    finite positive millisecond figure and phi_full covers the stage."""
+    from mcaq_yolo_tpu.scripts.profile_morphology import run
+
+    res = run(batch=2, hw=16, tile=4, iters=1)
+    for key in ("pack_tiles", "gaussian_blur5", "sobel", "otsu",
+                "canny_nms", "hysteresis_x8", "canny_full",
+                "adaptive_binarize", "lbp_entropy", "fractal", "euler",
+                "contour_incl_euler", "phi_full"):
+        assert key in res and np.isfinite(res[key]) and res[key] > 0, key
