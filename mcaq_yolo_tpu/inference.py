@@ -45,6 +45,7 @@ class Predictor:
         bit_mapping: str = "mlp",
         grid_size: int = 8,
         warmup: bool = True,
+        data_parallel: bool = False,
     ):
         meta = {}
         meta_path = Path(str(model_path) + ".json")
@@ -73,6 +74,27 @@ class Predictor:
         self.variables = self._load_model(model_path)
 
         self._predict_jit = jax.jit(self._predict_device)
+        # Opt-in multi-chip serving: batch split along the 'data' mesh axis,
+        # weights replicated — the same DP recipe as training
+        # (parallel/mesh.py), applied to the deployed forward+decode+NMS
+        # program.  Single-image predict() stays on the unsharded program;
+        # predict_batch() rounds its chunk size up to a mesh multiple.
+        self.mesh = None
+        if data_parallel and len(jax.devices()) > 1:
+            from .parallel.mesh import (
+                batch_sharding,
+                make_mesh,
+                replicate,
+                replicate_sharding,
+            )
+
+            self.mesh = make_mesh()
+            self.variables = replicate(self.mesh, self.variables)
+            self._predict_jit_dp = jax.jit(
+                self._predict_device,
+                in_shardings=(replicate_sharding(self.mesh),
+                              batch_sharding(self.mesh)),
+            )
         if warmup:
             self._warmup()
 
@@ -214,6 +236,14 @@ class Predictor:
         if n == 0:
             return []
         batch_size = min(batch_size, n)
+        predict_jit = self._predict_jit
+        if self.mesh is not None:
+            # round the compiled chunk shape up to a mesh multiple so the
+            # leading axis splits evenly across the 'data' axis (the tail
+            # pad below then covers ragged chunks too)
+            n_dev = self.mesh.devices.size
+            batch_size = -(-batch_size // n_dev) * n_dev
+            predict_jit = self._predict_jit_dp
         pre = [self.preprocess(im) for im in images]
 
         results: List[Dict] = []
@@ -226,7 +256,7 @@ class Predictor:
                     [stack, np.repeat(stack[-1:], batch_size - k, axis=0)]
                 )
             t0 = time.perf_counter()
-            out = self._predict_jit(self.variables, jnp.asarray(stack))
+            out = predict_jit(self.variables, jnp.asarray(stack))
             boxes, scores, classes, valid, avg_bits, cmap, bmap = (
                 jax.device_get(out)
             )

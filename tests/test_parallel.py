@@ -57,3 +57,44 @@ def test_full_dp_train_step_8dev():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)  # asserts finite loss internally
+
+
+def test_data_parallel_predictor(tmp_path):
+    """Opt-in DP serving: Predictor(data_parallel=True) shards predict_batch
+    chunks across the 8-device mesh and returns the same result contract as
+    the single-device path (incl. a ragged tail smaller than the mesh)."""
+    from flax import serialization
+
+    from mcaq_yolo_tpu.inference import Predictor
+    from mcaq_yolo_tpu.models import MCAQYOLO
+
+    model = MCAQYOLO(variant="yolov8n", num_classes=4, bit_mapping="linear",
+                     grid_size=4)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=False)
+    ckpt = tmp_path / "dp.ckpt"
+    ckpt.write_bytes(serialization.msgpack_serialize(
+        {k: jax.device_get(v) for k, v in variables.items()}))
+
+    rng = np.random.default_rng(0)
+    images = [rng.integers(0, 255, (64, 64, 3), np.uint8) for _ in range(11)]
+
+    dp = Predictor(str(ckpt), num_classes=4, variant="yolov8n", img_size=64,
+                   bit_mapping="linear", grid_size=4, warmup=False,
+                   data_parallel=True)
+    assert dp.mesh is not None and dp.mesh.devices.size == 8
+    res = dp.predict_batch(images, batch_size=6)  # rounds up to 8, tail 3
+    assert len(res) == 11
+    for r in res:
+        assert "detections" in r and np.isfinite(r["avg_bits"])
+
+    # parity vs the single-device program on one chunk
+    sd = Predictor(str(ckpt), num_classes=4, variant="yolov8n", img_size=64,
+                   bit_mapping="linear", grid_size=4, warmup=False)
+    res_sd = sd.predict_batch(images[:8], batch_size=8)
+    for a, b in zip(res[:8], res_sd):
+        assert len(a["detections"]) == len(b["detections"])
+        for da, db in zip(a["detections"], b["detections"]):
+            assert da["class_id"] == db["class_id"]
+            np.testing.assert_allclose(da["confidence"], db["confidence"],
+                                       rtol=2e-5, atol=2e-6)
