@@ -187,14 +187,41 @@ def _ensure_backend():
     """The host sitecustomize bakes JAX_PLATFORMS=axon into jax.config, but
     the TPU plugin may register under a different platform name ('tpu')
     depending on plugin version — fall back to auto-selection if the pinned
-    platform fails to initialize."""
+    platform fails to initialize.  A DOWN tunnel endpoint makes backend
+    init hang forever (not raise), so the probe runs under a watchdog and
+    the bench emits a diagnosable one-line JSON error instead of freezing
+    the driver."""
     import jax
 
+    import mcaq_yolo_tpu
+    from mcaq_yolo_tpu.utils.sync import probe_devices
+
+    def _die(msg):
+        print(json.dumps({
+            "metric": "images_per_sec", "value": 0.0, "unit": "img/s",
+            "vs_baseline": 0.0, "error": msg,
+        }))
+        # os._exit, not sys.exit: interpreter teardown can hang on a
+        # probe thread still blocked inside the C connect (observed), and
+        # buffered stdout would never flush.
+        sys.stdout.flush()
+        os._exit(2)
+
+    if getattr(mcaq_yolo_tpu, "BACKEND_PROBE_TIMED_OUT", False):
+        # the hung import-probe thread holds jax's global backend lock;
+        # any further device query would block forever
+        _die("tpu unreachable: backend init hung at package import")
     try:
-        jax.devices()
+        probe_devices(timeout_s=120.0)
+    except TimeoutError as e:
+        _die(f"tpu unreachable: {e}")
     except RuntimeError:
         jax.config.update("jax_platforms", "")
         jax.devices()
+    if jax.default_backend() == "cpu" and os.environ.get(
+            "BENCH_ALLOW_CPU", "0") != "1":
+        _die("backend fell back to cpu — refusing to bench the host CPU "
+             "(set BENCH_ALLOW_CPU=1 to override)")
 
 
 def main():

@@ -30,16 +30,49 @@ __version__ = "0.1.0"
 # back to auto-selection rather than failing every module import.  A
 # no-op when the pinned platform (or an explicit cpu override, as in the
 # test conftest) initializes fine.
+#
+# The probe runs under a watchdog thread: a DOWN tunnel endpoint makes
+# backend init HANG (blocking connect, no deadline) rather than raise, and
+# an import must never hang — on timeout the import proceeds with a
+# warning and later device queries surface the problem (bench.py and
+# utils.sync.require_tpu() handle it with their own watchdogs).
+import os as _os
+import threading as _threading
+import warnings as _warnings
+
 import jax as _jax
 
-try:  # pragma: no cover - depends on host plugin registration
-    _jax.devices()
-except RuntimeError:
+_probe_out = {}
+
+
+def _probe_backend():  # pragma: no cover - depends on host plugin state
+    try:
+        _probe_out["devices"] = _jax.devices()
+    except Exception as e:
+        _probe_out["error"] = e
+
+
+# True when backend init hung at import: the process is then POISONED —
+# the hung thread holds jax's global backend lock, every later device
+# query blocks on it, and no in-process recovery exists.  Entry points
+# that need a device (bench.py) must check this and exit fast.
+BACKEND_PROBE_TIMED_OUT = False
+
+_probe_t = _threading.Thread(target=_probe_backend, daemon=True)
+_probe_t.start()
+_probe_t.join(float(_os.environ.get("MCAQ_IMPORT_PROBE_TIMEOUT_S", "90")))
+if _probe_t.is_alive():  # pragma: no cover - requires a dead tunnel
+    BACKEND_PROBE_TIMED_OUT = True
+    _warnings.warn(
+        "[MCAQ] jax backend init unresponsive (TPU tunnel endpoint down?) "
+        "— import continues; device queries may block. Set "
+        "MCAQ_IMPORT_PROBE_TIMEOUT_S to tune this probe.")
+elif isinstance(_probe_out.get("error"), RuntimeError):
     # auto-select so imports never crash; perf/training entry points that
     # REQUIRE the accelerator should use utils.sync.require_tpu(), which
     # retries the tunnel instead of silently accepting cpu
     _jax.config.update("jax_platforms", "")
-del _jax
+del _jax, _os, _threading, _warnings, _probe_t, _probe_backend
 
 # Eager: lightweight pure-math core (mirrors the reference's PEP 562 split,
 # reference __init__.py:30-38 — core eager, heavy engine lazy).

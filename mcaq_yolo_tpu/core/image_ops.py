@@ -15,6 +15,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 # ---------------------------------------------------------------------------
@@ -103,8 +104,15 @@ def gaussian_blur(x: jnp.ndarray, k: int, sigma: float, mode: str = "zero") -> j
     return conv2d_zero(x, g2)
 
 
-_SOBEL_X = jnp.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]])
-_SOBEL_Y = jnp.array([[-1.0, -2.0, -1.0], [0.0, 0.0, 0.0], [1.0, 2.0, 1.0]])
+# numpy, NOT jnp: a module-level jnp.array would initialize the jax
+# backend at import time — on a host whose TPU tunnel endpoint is down,
+# backend init HANGS (no deadline), so importing the package would hang
+# (the __init__ probe thread would poison the global backend lock).
+# jnp converts these on first use inside a traced context.
+_SOBEL_X = np.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]],
+                    np.float32)
+_SOBEL_Y = np.array([[-1.0, -2.0, -1.0], [0.0, 0.0, 0.0], [1.0, 2.0, 1.0]],
+                    np.float32)
 
 
 def sobel(gray: jnp.ndarray, mode: str = "zero"):
@@ -113,7 +121,9 @@ def sobel(gray: jnp.ndarray, mode: str = "zero"):
     mode 'edge' approximates cv2.Sobel's reflect101 border (used by the
     per-tile metric mode where borders occur at every tile)."""
     conv = conv2d_replicate if mode == "edge" else conv2d_zero
-    return conv(gray, _SOBEL_X), conv(gray, _SOBEL_Y)
+    # plain asarray (f32), matching the previous jnp.array constants'
+    # promotion behavior exactly
+    return conv(gray, jnp.asarray(_SOBEL_X)), conv(gray, jnp.asarray(_SOBEL_Y))
 
 
 # ---------------------------------------------------------------------------

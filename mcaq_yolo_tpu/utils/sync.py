@@ -16,6 +16,40 @@ from __future__ import annotations
 import numpy as np
 
 
+def probe_devices(timeout_s: float = 120.0):
+    """`jax.devices()` with a watchdog.
+
+    When the axon tunnel endpoint is unreachable, backend init does not
+    raise — it HANGS indefinitely inside ``make_c_api_client`` (blocking
+    connect with no deadline; observed when the tunnel died mid-round).
+    Probing from a daemon thread bounds the wait so callers (bench.py,
+    require_tpu) can fail fast with a diagnosable error instead of
+    freezing the driver."""
+    import threading
+
+    import jax
+
+    res = {}
+
+    def _probe():
+        try:
+            res["devices"] = jax.devices()
+        except Exception as e:  # busy tunnel / registration race
+            res["error"] = e
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        raise TimeoutError(
+            f"jax backend init did not return within {timeout_s}s — "
+            "the TPU tunnel endpoint is unreachable (hang, not an error: "
+            "make_c_api_client blocks with no deadline)")
+    if "error" in res:
+        raise res["error"]
+    return res["devices"]
+
+
 def require_tpu(retries: int = 30, wait_s: float = 10.0):
     """Block until the tunneled TPU is actually acquired; raise otherwise.
 
@@ -31,10 +65,12 @@ def require_tpu(retries: int = 30, wait_s: float = 10.0):
     last = None
     for _ in range(max(1, retries)):
         try:
-            devs = jax.devices()
+            devs = probe_devices(timeout_s=60.0)
             if jax.default_backend() != "cpu":
                 return devs
             last = RuntimeError(f"backend is {jax.default_backend()}")
+        except TimeoutError as e:  # unreachable endpoint (hang, see probe)
+            raise RuntimeError(f"TPU tunnel unreachable: {e}") from e
         except RuntimeError as e:  # busy tunnel / registration race
             last = e
         time.sleep(wait_s)

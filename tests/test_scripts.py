@@ -1,5 +1,6 @@
 """Unit tests for the analysis scripts' pure helpers."""
 
+import jax
 import numpy as np
 
 from mcaq_yolo_tpu.scripts.m3_permutation import permute_bit_map
@@ -120,3 +121,12 @@ def test_profile_morphology_run():
                 "adaptive_binarize", "lbp_entropy", "fractal", "euler",
                 "contour_incl_euler", "phi_full"):
         assert key in res and np.isfinite(res[key]) and res[key] > 0, key
+
+
+def test_probe_devices_fast_path():
+    """probe_devices returns promptly when the backend is healthy (CPU
+    here) and matches jax.devices()."""
+    from mcaq_yolo_tpu.utils.sync import probe_devices
+
+    devs = probe_devices(timeout_s=30.0)
+    assert list(devs) == list(jax.devices())
