@@ -19,8 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .models import MCAQYOLO
-from .models.yolo import decode_predictions
-from .ops.nms import batched_nms
+from .models.yolo import decode_and_nms
 
 
 def make_inference_fn(
@@ -30,7 +29,12 @@ def make_inference_fn(
     iou_threshold: float = 0.45,
     max_det: int = 300,
 ):
-    """The deployable inference program: quantized forward (+decode+NMS)."""
+    """The deployable inference program: quantized forward (+decode+NMS).
+
+    Uses the FUSED decode_and_nms — the same program Predictor/eval_step
+    run (class-max over logits; equivalence with the separate
+    decode_predictions + batched_nms path is tested) — so the serving
+    artifact is bit-identical to the deployed path, not a slower twin."""
 
     def fn(variables, images):
         raw, aux = model.apply(
@@ -38,9 +42,8 @@ def make_inference_fn(
         )
         if not with_nms:
             return raw, aux["avg_bits"]
-        boxes, scores, _, _ = decode_predictions(raw, model.num_classes)
-        det = batched_nms(
-            boxes, scores,
+        det = decode_and_nms(
+            raw, model.num_classes,
             conf_threshold=conf_threshold, iou_threshold=iou_threshold,
             max_det=max_det,
         )
