@@ -359,6 +359,12 @@ def compute_phi_tiles(
         # per-scale auto-degrade: the metric kernels need tile >= 4, so a
         # 2x request applies at P3 (tile 8+) and self-disables at P4/P5
         # (tile 4) — which is where almost none of the pixels are anyway
+        if downsample & (downsample - 1):
+            raise ValueError(
+                f"morph_downsample must be a power of two, got {downsample}"
+                " — non-pow2 factors produce pool/tile sizes that don't"
+                " divide the feature map and silently change the phi-map"
+                " geometry")
         ds = downsample
         while ds > 1 and tile // ds < 4:
             ds //= 2

@@ -790,7 +790,12 @@ def make_synthetic_dataset_v2(
             (lbl_dir / f"img_{i:04d}.txt").write_text(
                 "\n".join(lines) + ("\n" if lines else "")
             )
-        rng = np.random.default_rng(seed + 104729 * (1 + hash(split) % 97))
+        # Reseed per split so val content is independent of n_images.  Must
+        # be stable across processes (quality_evidence supports training
+        # arms in separate invocations sharing one dataset seed) — builtin
+        # hash() is randomized by PYTHONHASHSEED, so use a fixed map.
+        split_id = {"train": 1, "val": 2}.get(split, 3)
+        rng = np.random.default_rng(seed + 104729 * split_id)
 
     yaml_path = root_p / "dataset.yaml"
     names = "\n".join(

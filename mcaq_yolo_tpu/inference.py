@@ -26,7 +26,6 @@ from flax import serialization
 from .data.dataset import IMG_EXTS, letterbox, unletterbox_boxes
 from .models import MCAQYOLO
 from .models.yolo import decode_and_nms
-from .ops.nms import batched_nms
 
 
 class Predictor:

@@ -93,7 +93,11 @@ def nms_from_best(
     if class_agnostic:
         nms_boxes = top_boxes
     else:
-        span = jnp.max(top_boxes) + 1.0
+        # decoded corners can be negative (e.g. x1 = (point - lt)*stride at
+        # image borders), so separation needs the full coordinate RANGE, not
+        # just the max — otherwise adjacent-class boxes can still overlap
+        # after offsetting and be wrongly cross-class suppressed.
+        span = jnp.max(top_boxes) - jnp.min(top_boxes) + 1.0
         offset = top_classes.astype(top_boxes.dtype)[:, None] * span
         nms_boxes = top_boxes + offset
 

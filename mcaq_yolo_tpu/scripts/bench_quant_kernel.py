@@ -120,10 +120,10 @@ def run(batch=32, iters=50, dtype=jnp.float32, with_mask=True, seed=0):
 
 def main():
     import os
-    try:
-        jax.devices()
-    except RuntimeError:  # pinned platform name != installed plugin's name
-        jax.config.update("jax_platforms", "")
+
+    from mcaq_yolo_tpu.utils.sync import acquire_backend
+
+    acquire_backend()  # bounded: fails fast when the tunnel is down
     jax.config.update(
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(os.path.dirname(

@@ -138,6 +138,19 @@ def run(img_size=640, epochs=60, n_images=192, batch_size=16,
     n_val = n_val or max(batch_size, n_images // 4)
     fp_epochs = fp_epochs or epochs
 
+    # Fail fast on invalid arm combinations: arm C and the KD stage both
+    # need an FP checkpoint, which comes from arm A in this run or from
+    # --fp-ckpt.  Catching this here instead of after arm B saves hours.
+    needs_fp = ("c" in arms) or kd_epochs > 0
+    if needs_fp and "a" not in arms and fp_ckpt is None:
+        raise ValueError(
+            f"arms={arms!r}"
+            + (f" with kd_epochs={kd_epochs}" if kd_epochs else "")
+            + " requires an FP checkpoint: include 'a' in --arms or pass"
+            " --fp-ckpt <path to a trained FP baseline checkpoint>")
+    if fp_ckpt is not None and not Path(fp_ckpt).exists():
+        raise FileNotFoundError(f"--fp-ckpt not found: {fp_ckpt}")
+
     root = Path(root).resolve()
     root.mkdir(parents=True, exist_ok=True)
     yaml_path = make_synthetic_dataset_v2(

@@ -47,7 +47,6 @@ from .data.dataset import (
 from .models import MCAQYOLO, YOLOv8
 from .models.losses import MCAQYOLOLoss, kd_feature_loss
 from .models.yolo import decode_and_nms
-from .ops.nms import batched_nms
 from .parallel.mesh import make_mesh, replicate, shard_batch
 from .utils.evaluation import (
     compute_map,

@@ -50,6 +50,36 @@ def probe_devices(timeout_s: float = 120.0):
     return res["devices"]
 
 
+def acquire_backend(timeout_s: float = 120.0):
+    """Shared bounded backend acquisition for scripts/entry points.
+
+    One place for the three concerns every CLI in this package needs before
+    touching jax: (1) respect the package-level import watchdog verdict
+    (``mcaq_yolo_tpu.BACKEND_PROBE_TIMED_OUT``) so a hung probe thread that
+    still holds jax's global backend lock fails fast instead of deadlocking
+    a second ``jax.devices()``; (2) probe with a watchdog (tunnel-down hangs,
+    see `probe_devices`); (3) fall back to platform auto-selection when a
+    pinned platform name doesn't match the installed plugin's name.
+    Returns the device list."""
+    import jax
+
+    import mcaq_yolo_tpu
+
+    if getattr(mcaq_yolo_tpu, "BACKEND_PROBE_TIMED_OUT", False):
+        raise RuntimeError(
+            "TPU tunnel endpoint unreachable (import-time probe timed out; "
+            "the hung probe thread holds jax's backend lock — any further "
+            "jax.devices() would block forever)")
+    try:
+        return probe_devices(timeout_s=timeout_s)
+    except TimeoutError:
+        raise
+    except RuntimeError:
+        # pinned platform name != installed plugin's name: auto-select
+        jax.config.update("jax_platforms", "")
+        return probe_devices(timeout_s=timeout_s)
+
+
 def require_tpu(retries: int = 30, wait_s: float = 10.0):
     """Block until the tunneled TPU is actually acquired; raise otherwise.
 
@@ -57,13 +87,16 @@ def require_tpu(retries: int = 30, wait_s: float = 10.0):
     holds the chip, backend init raises and a bare jax_platforms=''
     fallback would silently land on cpu — poisoning every throughput
     number.  This helper retries the tunnel and asserts the final backend
-    is a TPU."""
+    is a TPU.  jax CACHES initialized backends, so once a probe has landed
+    on cpu the loop must clear backend state before re-probing — otherwise
+    every retry just re-reads the cached cpu client."""
     import time
 
     import jax
+    import jax.extend.backend as _jeb
 
     last = None
-    for _ in range(max(1, retries)):
+    for attempt in range(max(1, retries)):
         try:
             devs = probe_devices(timeout_s=60.0)
             if jax.default_backend() != "cpu":
@@ -73,7 +106,12 @@ def require_tpu(retries: int = 30, wait_s: float = 10.0):
             raise RuntimeError(f"TPU tunnel unreachable: {e}") from e
         except RuntimeError as e:  # busy tunnel / registration race
             last = e
-        time.sleep(wait_s)
+        if attempt + 1 < max(1, retries):
+            try:  # drop the cached (cpu or failed) client so the next
+                _jeb.clear_backends()  # probe re-attempts the tunnel
+            except Exception:
+                pass
+            time.sleep(wait_s)
     raise RuntimeError(f"TPU not acquired after {retries} tries: {last}")
 
 
