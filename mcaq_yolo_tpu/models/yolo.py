@@ -251,27 +251,42 @@ def decode_and_nms(
     (sigmoid is monotone, so winners and scores are identical to
     decode_predictions + batched_nms) — the (B, A, nc) per-class score
     tensor is never materialized, which at bs=128/nc=80 removes a 344 MB
-    HBM round-trip from every forward."""
+    HBM round-trip from every forward.
+
+    Decode runs PER SCALE and only the decoded (B, A, 4)/(B, A) tensors are
+    concatenated — concatenating the raw 4*REG_MAX+nc channel maps first
+    (as decode_predictions does) writes + re-reads a (B, A, 144) f32
+    intermediate (2.5 GB round trip at bs=256/640px) that the decoded
+    output makes redundant."""
     from ..ops.nms import batched_nms_from_best
 
     B = raw_maps[0].shape[0]
     feat_shapes = [m.shape[1:3] for m in raw_maps]
     points, strides = make_anchors(feat_shapes)
 
-    flat = jnp.concatenate(
-        [m.reshape(B, -1, m.shape[-1]) for m in raw_maps], axis=1
-    )  # (B, A, 4*REG_MAX + nc)
-    box_dist = flat[..., : 4 * REG_MAX].reshape(B, -1, 4, REG_MAX)
-    cls_logits = flat[..., 4 * REG_MAX:]
+    boxes_s, score_s, class_s = [], [], []
+    a0 = 0
+    for m in raw_maps:
+        flat = m.reshape(B, -1, m.shape[-1])  # (B, a, 4*REG_MAX + nc)
+        a = flat.shape[1]
+        box_dist = flat[..., : 4 * REG_MAX].reshape(B, a, 4, REG_MAX)
+        cls_logits = flat[..., 4 * REG_MAX:]
 
-    dist = dfl_decode(box_dist)  # (B, A, 4) ltrb in feature units
-    lt, rb = dist[..., :2], dist[..., 2:]
-    x1y1 = (points[None] - lt) * strides[None]
-    x2y2 = (points[None] + rb) * strides[None]
-    boxes = jnp.concatenate([x1y1, x2y2], axis=-1)
+        dist = dfl_decode(box_dist)  # (B, a, 4) ltrb in feature units
+        lt, rb = dist[..., :2], dist[..., 2:]
+        pts = points[None, a0 : a0 + a]
+        std = strides[None, a0 : a0 + a]
+        x1y1 = (pts - lt) * std
+        x2y2 = (pts + rb) * std
+        boxes_s.append(jnp.concatenate([x1y1, x2y2], axis=-1))
+        score_s.append(
+            jax.nn.sigmoid(cls_logits.max(axis=-1).astype(jnp.float32)))
+        class_s.append(cls_logits.argmax(axis=-1).astype(jnp.int32))
+        a0 += a
 
-    best_score = jax.nn.sigmoid(cls_logits.max(axis=-1).astype(jnp.float32))
-    best_class = cls_logits.argmax(axis=-1).astype(jnp.int32)
+    boxes = jnp.concatenate(boxes_s, axis=1)
+    best_score = jnp.concatenate(score_s, axis=1)
+    best_class = jnp.concatenate(class_s, axis=1)
     return batched_nms_from_best(
         boxes, best_score, best_class,
         conf_threshold=conf_threshold, iou_threshold=iou_threshold,

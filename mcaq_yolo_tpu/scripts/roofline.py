@@ -1,0 +1,133 @@
+"""Per-stage roofline for the MCAQ-YOLO inference forward on TPU.
+
+For each pipeline stage (backbone / morphology / bit-map+quantize /
+neck+head / decode+NMS) this reports measured time, XLA-cost-model FLOPs
+and HBM bytes, the stage's own roofline bound
+    t_bound = max(flops / peak_flops, bytes / peak_bw)
+and the fraction of that bound achieved — i.e. whether each stage sits at
+ITS OWN speed-of-light, not just whether the whole model hits MXU peak
+(a morphology or NMS stage is bandwidth-bound by construction; judging it
+against bf16 matmul peak is meaningless).
+
+The reference has no analogous tool (its profiling is wall-clock epoch
+timing, reference train.py:700-760); this is TPU-deployment evidence for
+the "every hot kernel at speed-of-light" contract.
+
+Usage (real TPU):
+    python -m mcaq_yolo_tpu.scripts.roofline --batch 256 [--variant yolov8n]
+
+Ceilings default to the chip's MEASURED numbers (PARITY.md): 125 TFLOP/s
+sustained bf16 matmul, 411 GB/s flat f32 stream — override with
+--peak-tflops/--peak-gbps to judge against datasheet numbers instead.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def run(variant="yolov8n", batch=256, img=640, iters=20,
+        peak_tflops=125.0, peak_gbps=411.0):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..models import MCAQYOLO
+    from ..models.yolo import decode_and_nms
+    from ..utils.profiling import _cost_analysis, component_breakdown, timed
+
+    model = MCAQYOLO(variant=variant, num_classes=80, bit_mapping="mlp",
+                     dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((batch, img, img, 3), np.float32))
+    variables = jax.device_put(
+        model.init(jax.random.PRNGKey(0), images[:1], training=False))
+
+    bd = component_breakdown(model, variables, images, iters=iters,
+                             cost=True)
+
+    # decode+NMS stage: deployed-path delta (full e2e minus full forward)
+    @jax.jit
+    def full(v, x):
+        return model.apply(v, x, temperature=1.0, training=False)
+
+    @jax.jit
+    def e2e(v, x):
+        raw, aux = model.apply(v, x, temperature=1.0, quantize=True,
+                               training=False)
+        return decode_and_nms(raw, 80) + (aux["avg_bits"],)
+
+    t_e2e = timed(e2e, variables, images, iters=iters) * 1e3
+    bd["decode_nms_ms"] = t_e2e - bd["full_ms"]
+    bd["e2e_ms"] = t_e2e
+    ca_e2e = _cost_analysis(e2e, variables, images)
+    bd["decode_nms_gflops"] = ca_e2e["flops"] / 1e9 - bd["full_gflops"]
+    bd["decode_nms_gb"] = ca_e2e["bytes"] / 1e9 - bd["full_gb"]
+
+    stages = ["backbone", "morphology", "bitmap_quantize", "neck_head",
+              "decode_nms"]
+    rows = []
+    for s in stages:
+        ms = bd[f"{s}_ms"]
+        gf = bd.get(f"{s}_gflops", 0.0)
+        gb = bd.get(f"{s}_gb", 0.0)
+        t_flops = gf / peak_tflops  # ms (GFLOP / (TFLOP/s) = ms)
+        t_bytes = gb / peak_gbps * 1e3  # GB / (GB/s) -> s -> ms
+        bound = max(t_flops, t_bytes)
+        rows.append({
+            "stage": s, "ms": round(ms, 3),
+            "gflops": round(gf, 2), "gb": round(gb, 3),
+            "bound_ms": round(bound, 3),
+            "bound_by": "flops" if t_flops >= t_bytes else "bytes",
+            "pct_of_bound": round(100 * bound / ms, 1) if ms > 1e-6 else None,
+            "achieved_tflops": round(gf / ms, 2) if ms > 1e-6 else None,
+            "achieved_gbps": round(gb / ms * 1e3, 1) if ms > 1e-6 else None,
+        })
+
+    total_bound = sum(r["bound_ms"] for r in rows)
+    out = {
+        "config": {"variant": variant, "batch": batch, "img": img,
+                   "peak_tflops": peak_tflops, "peak_gbps": peak_gbps},
+        "stages": rows,
+        "full_ms": round(bd["full_ms"], 3),
+        "e2e_ms": round(bd["e2e_ms"], 3),
+        "e2e_img_per_s": round(batch / bd["e2e_ms"] * 1e3, 1),
+        "forward_img_per_s": round(batch / bd["full_ms"] * 1e3, 1),
+        "sum_stage_bound_ms": round(total_bound, 3),
+        "e2e_pct_of_composite_bound": round(
+            100 * total_bound / bd["e2e_ms"], 1),
+    }
+    return out
+
+
+def main(argv=None):
+    from ..utils.sync import acquire_backend
+
+    acquire_backend()
+    p = argparse.ArgumentParser()
+    p.add_argument("--variant", default="yolov8n")
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--img", type=int, default=640)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--peak-tflops", type=float, default=125.0)
+    p.add_argument("--peak-gbps", type=float, default=411.0)
+    p.add_argument("--out", default=None)
+    args = p.parse_args(argv)
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    res = run(args.variant, args.batch, args.img, args.iters,
+              args.peak_tflops, args.peak_gbps)
+    s = json.dumps(res, indent=2)
+    print(s)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(s)
+
+
+if __name__ == "__main__":
+    main()

@@ -100,6 +100,37 @@ def test_nms_fixed_point_matches_sequential_greedy():
                                    err_msg=f"trial {trial}")
 
 
+def test_nms_block_sequential_matches_fixed_point_and_greedy():
+    """The block-sequential core (deployed pre_topk=1024 path) must equal
+    both the full-matrix fixed point and numpy sequential greedy on dense
+    clustered candidate sets, including dead (conf-gated) entries."""
+    from mcaq_yolo_tpu.ops.nms import (_block_sequential_keep,
+                                       _fixed_point_keep)
+
+    rng = np.random.default_rng(3)
+    for k, tau in [(256, 0.45), (512, 0.3), (1024, 0.6)]:
+        centers = rng.uniform(0, 200, (k, 2))
+        wh = rng.uniform(20, 120, (k, 2))
+        boxes = np.concatenate([centers - wh / 2, centers + wh / 2], 1)
+        boxes = boxes.astype(np.float32)
+        alive = rng.random(k) > 0.1
+
+        fp = np.asarray(_fixed_point_keep(
+            jnp.asarray(boxes), jnp.asarray(alive), tau))
+        bl = np.asarray(_block_sequential_keep(
+            jnp.asarray(boxes), jnp.asarray(alive), tau))
+        assert (fp == bl).all(), f"k={k} tau={tau}"
+
+        # against numpy sequential greedy (candidates already score-sorted
+        # by construction: index order IS score order, dead entries skipped)
+        scores = np.linspace(1.0, 0.5, k).astype(np.float32)
+        scores[~alive] = 0.0
+        expected = np.zeros(k, bool)
+        expected[[i for i in _greedy_nms_numpy(boxes, scores, tau)
+                  if alive[i]]] = True
+        assert (bl == expected).all(), f"k={k} tau={tau} vs numpy"
+
+
 def test_nms_suppression_chain():
     """A->B->C chain: A suppresses B, so C (overlapping only B) is kept.
     One-sweep approximations (YOLACT Fast-NMS) get this wrong."""
