@@ -130,3 +130,22 @@ def test_probe_devices_fast_path():
 
     devs = probe_devices(timeout_s=30.0)
     assert list(devs) == list(jax.devices())
+
+
+def test_roofline_run_smoke():
+    """Per-stage roofline (scripts/roofline.py): every stage reports a
+    finite time and a flops/bytes bound, and the e2e program is timed.
+    Tiny shapes on CPU — only the plumbing and schema are under test; the
+    ceilings are the TPU's and meaningless here."""
+    from mcaq_yolo_tpu.scripts.roofline import run
+
+    res = run(variant="yolov8n", batch=2, img=64, iters=1)
+    stages = {r["stage"] for r in res["stages"]}
+    assert stages == {"backbone", "morphology", "bitmap_quantize",
+                      "neck_head", "decode_nms"}
+    for r in res["stages"]:
+        assert np.isfinite(r["ms"]), r
+        assert np.isfinite(r["bound_ms"]) and r["bound_ms"] >= 0.0, r
+        assert r["bound_by"] in ("flops", "bytes"), r
+    assert res["e2e_ms"] >= res["full_ms"] > 0.0
+    assert res["e2e_img_per_s"] > 0.0
