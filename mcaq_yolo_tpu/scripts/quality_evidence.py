@@ -117,7 +117,7 @@ def run(img_size=640, epochs=60, n_images=192, batch_size=16,
         variant="yolov8n", root="outputs/quality_evidence_v2", seed=0,
         kd_epochs=0, fp_epochs=None, n_val=None, lr=2e-3,
         target_bits=4.0, arms="abc", fp_ckpt=None, lambda_smooth=0.1,
-        monotone_param="abs"):
+        monotone_param="abs", min_bits=2, max_bits=8):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -169,7 +169,13 @@ def run(img_size=640, epochs=60, n_images=192, batch_size=16,
             "epochs": n_epochs,
             "batch_size": batch_size,
             "learning_rate": lr,
-            "quantization": {"min_bits": 2, "max_bits": 8,
+            # min/max_bits are protocol knobs: capping max_bits (e.g. 3)
+            # forces the allocation into the damaging regime where a KD
+            # delta is resolvable — at the default 2..8 range the lambda_1
+            # equilibrium settles near 4.5-4.8 bits, where quantization
+            # costs nothing and KD-vs-no-KD deltas are pure noise (see
+            # PARITY.md "Lbit/lambda_1 equilibrium").
+            "quantization": {"min_bits": min_bits, "max_bits": max_bits,
                              "target_bits": target_bits, "grid_size": 8,
                              "bit_mapping": "mlp",
                              "monotone_param": monotone_param,
@@ -188,6 +194,7 @@ def run(img_size=640, epochs=60, n_images=192, batch_size=16,
                         "epochs": epochs, "fp_epochs": fp_epochs,
                         "n_images": n_images, "n_val": n_val, "seed": seed,
                         "target_bits": target_bits, "arms": arms,
+                        "min_bits": min_bits, "max_bits": max_bits,
                         "lambda_smooth": lambda_smooth,
                         "monotone_param": monotone_param,
                         "dataset": "synthetic_v2"}}
@@ -371,6 +378,10 @@ def main(argv=None):
     p.add_argument("--lambda-smooth", type=float, default=0.1)
     p.add_argument("--monotone-param", default="abs",
                    choices=["abs", "softplus"])
+    p.add_argument("--min-bits", type=int, default=2)
+    p.add_argument("--max-bits", type=int, default=8,
+                   help="cap the bit range (e.g. 3) to force the damaging "
+                        "regime for discriminative KD-vs-no-KD runs")
     args = p.parse_args(argv)
     table = run(args.img_size, args.epochs, args.n_images,
                 batch_size=args.batch_size, variant=args.variant,
@@ -378,7 +389,8 @@ def main(argv=None):
                 fp_epochs=args.fp_epochs, target_bits=args.target_bits,
                 monotone_param=args.monotone_param,
                 arms=args.arms, fp_ckpt=args.fp_ckpt,
-                lambda_smooth=args.lambda_smooth)
+                lambda_smooth=args.lambda_smooth,
+                min_bits=args.min_bits, max_bits=args.max_bits)
     s = json.dumps(table, indent=2, default=float)
     print(s)
     if args.out:
