@@ -57,7 +57,7 @@ def _throughput(fn, args, batch, iters, warmup=2):
 
 
 def _infer_imgs_per_sec(variant, batch, img, iters, dtype, backend="auto",
-                        e2e=False):
+                        e2e=False, morph_ds=1):
     """images/sec for the MCAQ inference forward.
 
     e2e=False: raw quantized forward (roofline-comparable).
@@ -80,7 +80,8 @@ def _infer_imgs_per_sec(variant, batch, img, iters, dtype, backend="auto",
         qcfg = meta.get("config", {}).get("quantization", {})
         bit_mapping = qcfg.get("bit_mapping", bit_mapping)
     model = MCAQYOLO(variant=variant, num_classes=nc, bit_mapping=bit_mapping,
-                     dtype=dtype, quant_backend=backend)
+                     dtype=dtype, quant_backend=backend,
+                     morph_downsample=morph_ds)
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.random((batch, img, img, 3), np.float32))
     variables = model.init(jax.random.PRNGKey(0), images[:1], training=False)
@@ -250,21 +251,39 @@ def main():
         e2e_sweep = {f"bs{batch}": round(headline, 1)}
         extra = {}
     else:
-        e2e_sweep = {}
+        # Two DEPLOYED configs are swept: the reference-faithful full-res
+        # morphology estimator (ds1) and the quality-certified half-res
+        # estimator (ds2 — delta mAP@50-95 -0.0001 on a spatially-varying
+        # 640px checkpoint, outputs/r3/downsample_fidelity_spread.json /
+        # PARITY.md).  Headline = best deployable across both.
+        e2e_sweep, e2e_sweep_ds2 = {}, {}
         for b in (batch, 128, 256):
             e2e_sweep[f"bs{b}"] = round(
                 _infer_imgs_per_sec(variant, b, img, max(4, iters // 4),
                                     dtype, e2e=True), 1)
-        headline = max(e2e_sweep.values())
+            e2e_sweep_ds2[f"bs{b}"] = round(
+                _infer_imgs_per_sec(variant, b, img, max(4, iters // 4),
+                                    dtype, e2e=True, morph_ds=2), 1)
+        headline = max(max(e2e_sweep.values()), max(e2e_sweep_ds2.values()))
 
         extra = {}
+        extra["e2e_ds2_sweep_imgs_per_sec"] = e2e_sweep_ds2
+        extra["headline_morph_downsample"] = (
+            1 if max(e2e_sweep.values()) >= max(e2e_sweep_ds2.values())
+            else 2)
         sweep = {}
         for b in (batch, 128, 256):
             sweep[f"bs{b}"] = round(
                 _infer_imgs_per_sec(variant, b, img, max(4, iters // 4),
                                     dtype), 1)
         extra["fwd_only_sweep_imgs_per_sec"] = sweep
-        best_fwd = max(sweep.values())
+        sweep_ds2 = {}
+        for b in (128, 256):
+            sweep_ds2[f"bs{b}"] = round(
+                _infer_imgs_per_sec(variant, b, img, max(4, iters // 4),
+                                    dtype, morph_ds=2), 1)
+        extra["fwd_ds2_sweep_imgs_per_sec"] = sweep_ds2
+        best_fwd = max(max(sweep.values()), max(sweep_ds2.values()))
         gflops = GFLOPS_640.get(variant)
         if gflops and img == 640:
             extra["fwd_mfu_pct_bf16_peak"] = round(

@@ -21,7 +21,6 @@ from typing import Dict, List, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from flax import serialization
 
 from .data.dataset import IMG_EXTS, letterbox, unletterbox_boxes
 from .models import MCAQYOLO
@@ -36,7 +35,7 @@ class Predictor:
         model_path: str,
         num_classes: int = 80,
         variant: str = "yolov8n",
-        img_size: int = 640,
+        img_size: Optional[int] = None,
         conf_threshold: float = 0.25,
         iou_threshold: float = 0.45,
         max_det: int = 1000,
@@ -45,17 +44,54 @@ class Predictor:
         grid_size: int = 8,
         warmup: bool = True,
         data_parallel: bool = False,
+        min_bits: Optional[int] = None,
+        max_bits: Optional[int] = None,
+        monotone_param: Optional[str] = None,
+        normalize_complexity: Optional[bool] = None,
+        morph_downsample: Optional[int] = None,
+        morph_tile_engine: Optional[str] = None,
     ):
+        # EVERY model-defining training-config key must be mirrored here,
+        # or the deployed model silently diverges from the trained one
+        # (e.g. a softplus-monotone or bits-capped checkpoint restored into
+        # an abs/2..8 template produces wrong bit maps with no error).
+        # Meta (written by Trainer.save_checkpoint) fills them; explicit
+        # kwargs win over meta (None = auto) so deploy-time levers like
+        # morph_downsample stay overridable.
         meta = {}
         meta_path = Path(str(model_path) + ".json")
         if meta_path.exists():
             meta = json.loads(meta_path.read_text())
             variant = meta.get("variant", variant)
             num_classes = int(meta.get("num_classes", num_classes))
-            img_size = int(meta.get("img_size", img_size))
             qcfg = meta.get("config", {}).get("quantization", {})
             bit_mapping = qcfg.get("bit_mapping", bit_mapping)
             grid_size = int(qcfg.get("grid_size", grid_size))
+        # deploy-time resolution override: an EXPLICIT img_size kwarg wins
+        # (YOLO deploys at other resolutions than it trained at); None =
+        # the checkpoint's trained resolution, falling back to 640
+        if img_size is None:
+            img_size = int(meta.get("img_size", 640))
+        qcfg = meta.get("config", {}).get("quantization", {})
+        morph = meta.get("config", {}).get("morphology", {})
+
+        def auto(explicit, meta_val, default, cast):
+            if explicit is not None:
+                return cast(explicit)
+            return cast(meta_val) if meta_val is not None else default
+
+        min_bits = auto(min_bits, qcfg.get("min_bits"), 2, int)
+        max_bits = auto(max_bits, qcfg.get("max_bits"), 8, int)
+        target_bits = float(qcfg.get("target_bits", 4.0))
+        monotone_param = auto(
+            monotone_param, qcfg.get("monotone_param"), "abs", str)
+        normalize_complexity = auto(
+            normalize_complexity, qcfg.get("normalize_complexity"),
+            False, bool)
+        morph_downsample = auto(
+            morph_downsample, morph.get("downsample"), 1, int)
+        morph_tile_engine = auto(
+            morph_tile_engine, morph.get("tile_engine"), "lanes", str)
 
         self.img_size = img_size
         self.num_classes = num_classes
@@ -69,6 +105,11 @@ class Predictor:
         self.model = MCAQYOLO(
             variant=variant, num_classes=num_classes,
             bit_mapping=bit_mapping, grid_size=grid_size,
+            min_bits=min_bits, max_bits=max_bits, target_bits=target_bits,
+            monotone_param=monotone_param,
+            normalize_complexity=normalize_complexity,
+            morph_downsample=morph_downsample,
+            morph_tile_engine=morph_tile_engine,
         )
         self.variables = self._load_model(model_path)
 
@@ -106,49 +147,14 @@ class Predictor:
         freshly initialized values, with a warning."""
         dummy = jnp.zeros((1, self.img_size, self.img_size, 3), jnp.float32)
         variables = self.model.init(jax.random.PRNGKey(0), dummy, training=False)
-        blob = Path(model_path).read_bytes()
         # structure-free restore (checkpoints carry optimizer state the
         # predictor cannot template), then a tolerant overlay: keys absent
         # from the checkpoint keep their initialized values with a warning —
         # the JAX analogue of the reference's strict -> strict=False
         # fallback (reference inference.py:101-116).
-        payload = serialization.msgpack_restore(blob)
+        from .utils.model_utils import tolerant_restore
 
-        import warnings
-
-        def overlay(dst, src, path=""):
-            out = dict(dst)
-            for k, v in dst.items():
-                if src is None or k not in src:
-                    warnings.warn(f"[MCAQ] checkpoint missing {path}/{k}; "
-                                  "keeping initialized value")
-                    continue
-                if isinstance(v, dict):
-                    out[k] = overlay(v, src[k], f"{path}/{k}")
-                else:
-                    sv = src[k]
-                    if tuple(getattr(sv, "shape", ())) != tuple(v.shape):
-                        warnings.warn(
-                            f"[MCAQ] shape mismatch at {path}/{k} "
-                            f"({getattr(sv, 'shape', None)} vs {v.shape}); "
-                            "keeping initialized value"
-                        )
-                        continue
-                    out[k] = jnp.asarray(sv, v.dtype)
-            return out
-
-        return {
-            "params": overlay(variables["params"], payload.get("params")),
-            "batch_stats": overlay(
-                variables.get("batch_stats", {}), payload.get("batch_stats")
-            ),
-            "quant_stats": overlay(
-                variables.get("quant_stats", {}), payload.get("quant_stats")
-            ),
-            "buffers": overlay(
-                variables.get("buffers", {}), payload.get("buffers")
-            ),
-        }
+        return tolerant_restore(variables, model_path)
 
     def _warmup(self, iters: int = 3):
         x = jnp.zeros((1, self.img_size, self.img_size, 3), jnp.float32)

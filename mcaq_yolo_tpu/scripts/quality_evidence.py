@@ -121,7 +121,6 @@ def run(img_size=640, epochs=60, n_images=192, batch_size=16,
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from flax import serialization
 
     from ..calibrate import calibrate
     from ..data.dataset import (
@@ -133,6 +132,7 @@ def run(img_size=640, epochs=60, n_images=192, batch_size=16,
     from ..models import MCAQYOLO
     from ..train import Trainer, export_teacher_from_ckpt
     from ..utils.evaluation import evaluate_quantization_impact
+    from ..utils.model_utils import tolerant_restore
 
     n_classes = 8  # dataset v2 is fixed at 8 appearance-defined classes
     n_val = n_val or max(batch_size, n_images // 4)
@@ -261,23 +261,10 @@ def run(img_size=640, epochs=60, n_images=192, batch_size=16,
         dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
         posthoc_vars = posthoc_model.init(jax.random.PRNGKey(0), dummy,
                                           training=False)
-        payload = serialization.msgpack_restore(fp_ckpt.read_bytes())
-
-        def overlay(dst, src):
-            out = dict(dst)
-            for k, v in dst.items():
-                if src is None or k not in src:
-                    continue
-                if isinstance(v, dict):
-                    out[k] = overlay(v, src[k])
-                elif tuple(getattr(src[k], "shape", ())) == tuple(v.shape):
-                    out[k] = jnp.asarray(src[k], v.dtype)
-            return out
-
-        posthoc_vars = {
-            k: overlay(posthoc_vars.get(k, {}), payload.get(k))
-            for k in ("params", "batch_stats", "quant_stats", "buffers")
-        }
+        # warn=False: overlaying a PLAIN FP checkpoint into an MCAQ template
+        # leaves the quantizer/mapper keys at their initialized values by
+        # design (that is what "post-hoc" means here)
+        posthoc_vars = tolerant_restore(posthoc_vars, fp_ckpt, warn=False)
         train_dir = load_dataset_yaml(yaml_path)["train"]
         calib_loader = DataLoader(
             YOLODataset(train_dir, img_size, 16, augment=False),

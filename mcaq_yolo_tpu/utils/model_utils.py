@@ -16,6 +16,45 @@ import numpy as np
 from ..core.quantization import quantize_tensor
 
 
+def tolerant_restore(template, ckpt_path, collections=(
+        "params", "batch_stats", "quant_stats", "buffers"), warn=True):
+    """Structure-free checkpoint restore into a freshly-initialized variable
+    template: keys absent from the checkpoint (or with mismatched shapes)
+    keep their initialized values — the JAX analogue of the reference's
+    strict -> strict=False load fallback (reference inference.py:101-116).
+
+    Shared by the analysis scripts; `Predictor._load_model` applies the
+    same policy with per-key warnings for the serving path."""
+    import warnings
+    from pathlib import Path
+
+    from flax import serialization
+
+    payload = serialization.msgpack_restore(Path(ckpt_path).read_bytes())
+
+    def overlay(dst, src, path=""):
+        out = dict(dst)
+        for k, v in dst.items():
+            if src is None or k not in src:
+                if warn:
+                    warnings.warn(f"[MCAQ] checkpoint missing {path}/{k}; "
+                                  "keeping initialized value")
+                continue
+            if isinstance(v, dict):
+                out[k] = overlay(v, src[k], f"{path}/{k}")
+            elif tuple(getattr(src[k], "shape", ())) == tuple(v.shape):
+                out[k] = jnp.asarray(src[k], v.dtype)
+            elif warn:
+                warnings.warn(
+                    f"[MCAQ] shape mismatch at {path}/{k} "
+                    f"({getattr(src[k], 'shape', None)} vs {v.shape}); "
+                    "keeping initialized value")
+        return out
+
+    return {k: overlay(template.get(k, {}), payload.get(k))
+            for k in collections}
+
+
 def count_parameters(params) -> Dict[str, int]:
     """Total / per-top-level-module parameter counts."""
     leaves = jax.tree_util.tree_leaves(params)

@@ -149,3 +149,30 @@ def test_roofline_run_smoke():
         assert r["bound_by"] in ("flops", "bytes"), r
     assert res["e2e_ms"] >= res["full_ms"] > 0.0
     assert res["e2e_img_per_s"] > 0.0
+
+
+def test_downsample_fidelity_run_e2e(trained):
+    """Deploy-time downsample fidelity (scripts/downsample_fidelity.py):
+    schema complete, and at 96px geometry (C3 tile 4 < 8) the 2x request
+    AUTO-DEGRADES everywhere, so both settings must be EXACTLY identical —
+    the lever's small-geometry safety contract (compute_phi_tiles docs).
+    The discriminative >=512px run happens in the evidence protocol."""
+    from pathlib import Path
+
+    from mcaq_yolo_tpu.scripts.downsample_fidelity import run
+
+    trainer, _, config = trained
+    res = run(
+        ckpt=str(Path(config["output_dir"]) / "last.ckpt"),
+        data_yaml=config["data"]["yaml_path"],
+        img_size=96, num_classes=4, batch_size=4,
+        bit_mapping="linear", normalize_complexity=False,
+    )
+    assert np.isfinite(res["downsample_1"]["map50_95"])
+    assert np.isfinite(res["downsample_2"]["map50_95"])
+    # auto-degraded => bitwise-identical estimates at this geometry
+    assert res["delta_map50_95"] == 0.0
+    assert res["delta_avg_bits"] == 0.0
+    for row in res["per_scale_fidelity"]:
+        assert row["rounded_bit_changed_frac"] == 0.0, row
+        assert row["complexity_pearson_r"] == 1.0, row

@@ -174,3 +174,42 @@ def test_bit_mapper_excluded_from_weight_decay():
     mask_ref = weight_decay_mask(params, decay_bit_mapper=True)
     assert all(m is True
                for _, m in jax.tree_util.tree_flatten_with_path(mask_ref)[0])
+
+
+def test_predictor_mirrors_model_config_from_meta(trained, tmp_path):
+    """Predictor must restore EVERY model-defining config key from the
+    checkpoint meta (monotone_param, min/max bits, normalize_complexity,
+    morphology engine/downsample) — a softplus or bits-capped checkpoint
+    restored into the default template would silently produce wrong bit
+    maps.  Explicit kwargs (deploy-time levers) must win over meta."""
+    import shutil
+
+    trainer, _, config = trained
+    from mcaq_yolo_tpu.inference import Predictor
+
+    src = Path(config["output_dir"]) / "last.ckpt"
+    ckpt = tmp_path / "doctored.ckpt"
+    shutil.copy(src, ckpt)
+    meta = json.loads((Path(config["output_dir"]) / "last.ckpt.json")
+                      .read_text())
+    meta["config"]["quantization"].update(
+        min_bits=3, max_bits=6, monotone_param="softplus",
+        normalize_complexity=True, bit_mapping="mlp")
+    meta["config"]["morphology"] = {"downsample": 2, "tile_engine": "rows"}
+    (tmp_path / "doctored.ckpt.json").write_text(json.dumps(meta))
+
+    p = Predictor(str(ckpt), warmup=False)
+    m = p.model
+    assert (m.min_bits, m.max_bits) == (3, 6)
+    assert m.monotone_param == "softplus"
+    assert m.normalize_complexity is True
+    assert m.bit_mapping == "mlp"
+    assert m.morph_downsample == 2
+    assert m.morph_tile_engine == "rows"
+
+    # explicit kwargs override meta (deploy-time lever contract)
+    p2 = Predictor(str(ckpt), warmup=False, morph_downsample=1,
+                   monotone_param="abs")
+    assert p2.model.morph_downsample == 1
+    assert p2.model.monotone_param == "abs"
+    assert p2.model.min_bits == 3  # untouched keys still come from meta
