@@ -147,7 +147,10 @@ def test_roofline_run_smoke():
         assert np.isfinite(r["ms"]), r
         assert np.isfinite(r["bound_ms"]) and r["bound_ms"] >= 0.0, r
         assert r["bound_by"] in ("flops", "bytes"), r
-    assert res["e2e_ms"] >= res["full_ms"] > 0.0
+    # no relative-timing assertion (e2e >= full): with iters=1 on a
+    # contended single CPU core the two independent timed() calls can
+    # invert by scheduling noise — only positivity/schema are CPU-testable
+    assert res["e2e_ms"] > 0.0 and res["full_ms"] > 0.0
     assert res["e2e_img_per_s"] > 0.0
 
 
