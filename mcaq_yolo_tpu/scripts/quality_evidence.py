@@ -348,6 +348,8 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=60)
     p.add_argument("--fp-epochs", type=int, default=None)
     p.add_argument("--n-images", type=int, default=192)
+    p.add_argument("--n-val", type=int, default=None,
+                   help="val images (default max(batch_size, n_images//4))")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--variant", default="yolov8n")
     p.add_argument("--seed", type=int, default=0)
@@ -372,6 +374,7 @@ def main(argv=None):
     args = p.parse_args(argv)
     table = run(args.img_size, args.epochs, args.n_images,
                 batch_size=args.batch_size, variant=args.variant,
+                n_val=args.n_val,
                 root=args.root, seed=args.seed, kd_epochs=args.kd_epochs,
                 fp_epochs=args.fp_epochs, target_bits=args.target_bits,
                 monotone_param=args.monotone_param,
