@@ -466,8 +466,11 @@ class DataLoader:
         }
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        # Chunk order is drawn HERE (consumer thread) so self.rng is only
+        # ever mutated single-threaded, even with a producer running.
+        chunks = list(self._chunks())
         if self.num_workers <= 0:
-            for chunk in self._chunks():
+            for chunk in chunks:
                 yield self._assemble(chunk)
             return
 
@@ -475,26 +478,56 @@ class DataLoader:
         import threading
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
+        stop = threading.Event()
         _END = object()
+        # Serialize dataset access across loaders sharing one dataset:
+        # get_item consumes dataset.rng (augmentation draws) and numpy
+        # Generators are not thread-safe.
+        lock = self.dataset.__dict__.setdefault("_loader_lock", threading.Lock())
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
-                for chunk in self._chunks():
-                    q.put(self._assemble(chunk))
-                q.put(_END)
+                for chunk in chunks:
+                    if stop.is_set():
+                        return
+                    with lock:
+                        batch = self._assemble(chunk)
+                    if not _put(batch):
+                        return
+                _put(_END)
             except BaseException as e:  # surface worker errors to the consumer
-                q.put(e)
+                _put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # Consumer stopped (exhausted, errored, or abandoned the
+            # generator early): unblock and retire the producer so it
+            # never leaks a thread or pins prefetched batches.
+            stop.set()
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=30.0)
 
 
 # ---------------------------------------------------------------------------

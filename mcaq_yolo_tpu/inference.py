@@ -16,7 +16,7 @@ import json
 import time
 from functools import partial
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -157,9 +157,19 @@ class Predictor:
         return tolerant_restore(variables, model_path)
 
     def _warmup(self, iters: int = 3):
-        x = jnp.zeros((1, self.img_size, self.img_size, 3), jnp.float32)
+        # uint8 input: preprocess() ships uint8 batches, so warming with
+        # float32 would compile a program predict() never runs and the
+        # first real image would pay the full XLA compile.
+        x = jnp.zeros((1, self.img_size, self.img_size, 3), jnp.uint8)
         for _ in range(iters):
             jax.block_until_ready(self._predict_jit(self.variables, x))
+        if self.mesh is not None:
+            # warm the data-parallel program at its minimum batch (one per
+            # device); other predict_batch sizes still compile on first use.
+            n_dev = self.mesh.devices.size
+            xd = jnp.zeros(
+                (n_dev, self.img_size, self.img_size, 3), jnp.uint8)
+            jax.block_until_ready(self._predict_jit_dp(self.variables, xd))
 
     # ------------------------------------------------------------------
 
@@ -230,13 +240,17 @@ class Predictor:
         return results
 
     def predict_batch(
-        self, images: List[np.ndarray], batch_size: int = 16
+        self, images: Sequence, batch_size: int = 16
     ) -> List[Dict]:
         """Directory/batch mode (reference inference.py:383-455) as TRUE
         batched forwards: images are letterboxed host-side, stacked into
         fixed-size chunks (the ragged tail is padded by repeating the last
         image, so the jit sees ONE batch shape and compiles once), and the
-        whole forward + decode + NMS runs on-device per chunk."""
+        whole forward + decode + NMS runs on-device per chunk.
+
+        Elements may be decoded HxWx3 uint8 arrays OR file paths: paths are
+        decoded lazily per chunk, so a 10k-image directory holds O(batch)
+        images in host RAM, not O(dataset)."""
         n = len(images)
         if n == 0:
             return []
@@ -249,11 +263,14 @@ class Predictor:
             n_dev = self.mesh.devices.size
             batch_size = -(-batch_size // n_dev) * n_dev
             predict_jit = self._predict_jit_dp
-        pre = [self.preprocess(im) for im in images]
 
         results: List[Dict] = []
         for i in range(0, n, batch_size):
-            chunk = pre[i:i + batch_size]
+            raw = [
+                im if isinstance(im, np.ndarray) else _read_image_rgb(str(im))
+                for im in images[i:i + batch_size]
+            ]
+            chunk = [self.preprocess(im) for im in raw]
             k = len(chunk)
             stack = np.stack([c[0] for c in chunk])
             if k < batch_size:  # pad tail to the compiled shape
@@ -269,7 +286,7 @@ class Predictor:
 
             for j in range(k):
                 _, scale, pad = chunk[j]
-                orig_hw = images[i + j].shape[:2]
+                orig_hw = raw[j].shape[:2]
                 v = valid[j].astype(bool)
                 det_boxes = unletterbox_boxes(boxes[j][v], scale, pad, orig_hw)
                 results.append({
@@ -338,8 +355,8 @@ def main(argv=None):
         files = sorted(
             str(p) for p in src.rglob("*") if p.suffix.lower() in IMG_EXTS
         )
-        imgs = [_read_image_rgb(f) for f in files]
-        batch_results = predictor.predict_batch(imgs)
+        # pass paths: predict_batch decodes lazily per chunk (O(batch) RAM)
+        batch_results = predictor.predict_batch(files)
         all_results = {}
         for f, r in zip(files, batch_results):
             all_results[f] = {

@@ -205,9 +205,13 @@ def run(img_size=640, epochs=60, n_images=192, batch_size=16,
     def make_val_loader():
         """Standalone val loader (when neither arm A nor B trained here)."""
         data = load_dataset_yaml(yaml_path)
+        # drop_last=False: must match Trainer.val_loader so split-invocation
+        # arms (--arms c --fp-ckpt ...) evaluate the SAME val subset as arms
+        # trained in another invocation — otherwise cross-arm mAP deltas
+        # compare different image sets when n_val % batch != 0.
         return DataLoader(
             YOLODataset(data["val"], img_size, 16, augment=False),
-            batch_size, shuffle=False,
+            batch_size, shuffle=False, drop_last=False,
         )
 
     # ---------------- arm A: FP32-trained baseline -----------------------

@@ -1,6 +1,8 @@
 """Data pipeline tests: letterbox geometry, fixed-shape batching, label
 alignment, complexity scoring cache."""
 
+import time
+
 import numpy as np
 import pytest
 
@@ -123,6 +125,27 @@ def test_prefetch_loader_propagates_errors(tiny_dataset):
     loader._assemble = boom
     with pytest.raises(RuntimeError, match="producer failure"):
         list(loader)
+
+
+def test_prefetch_loader_abandoned_iteration_terminates_producer(tiny_dataset):
+    """Abandoning a prefetch iterator early (break after one batch — what
+    max_batches-style eval helpers do) must retire the producer thread
+    instead of leaving it blocked forever on the bounded queue."""
+    import threading
+
+    ds_cfg = load_dataset_yaml(tiny_dataset)
+    ds = YOLODataset(ds_cfg["train"], img_size=96, max_boxes=16)
+    loader = DataLoader(ds, batch_size=2, num_workers=1, prefetch_depth=1)
+    before = threading.active_count()
+    for _ in range(3):
+        for batch in loader:
+            assert batch["image"].shape[0] == 2
+            break  # abandon mid-iteration; generator close must clean up
+    # allow the producer's bounded-put timeout one cycle to observe stop
+    deadline = time.time() + 10.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
 
 
 def test_eq8_scoring_differs_from_edge_proxy(tiny_dataset):
