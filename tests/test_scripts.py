@@ -179,3 +179,20 @@ def test_downsample_fidelity_run_e2e(trained):
     for row in res["per_scale_fidelity"]:
         assert row["rounded_bit_changed_frac"] == 0.0, row
         assert row["complexity_pearson_r"] == 1.0, row
+
+
+def test_bench_nms_run_smoke():
+    """Decode+NMS breakdown (scripts/bench_nms.py): schema complete and
+    every stage reports a positive finite time at tiny CPU geometry (top-k
+    sizes clamp to the anchor count; only plumbing is under test — the
+    exact-vs-approx A/B is meaningful only on the real TPU)."""
+    from mcaq_yolo_tpu.scripts.bench_nms import run
+
+    res = run(batch=2, img=64, iters=1)
+    for key in ("decode_only_ms", "forward_ms", "e2e_ms",
+                "decode_nms_gap_ms", "e2e_imgs_per_sec"):
+        assert np.isfinite(res[key]), key
+    for k in (1024, 512, 256):
+        assert res[f"select_exact_topk{k}_ms"] > 0.0
+        assert res[f"select_approx_topk{k}_ms"] > 0.0
+        assert res[f"nms_from_decoded_topk{k}_ms"] > 0.0
