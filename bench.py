@@ -110,8 +110,13 @@ def _infer_imgs_per_sec(variant, batch, img, iters, dtype, backend="auto",
             )
             # the fused deployed program (Predictor/eval_step): class-max
             # over logits inside decode, no (B, A, nc) score tensor
+            # pre_topk=512 = Predictor's pool size at max_det=300: the
+            # greedy core is linear in the pool and 512 >= max_det; with a
+            # conf=0.25 gate the alive set is identical in practice
+            # (scripts/pretopk_equivalence.py pins this on the trained ckpt)
             det = decode_and_nms(raw_maps, nc, conf_threshold=0.25,
-                                 iou_threshold=0.45, max_det=300)
+                                 iou_threshold=0.45, max_det=300,
+                                 pre_topk=512)
             return det + (aux["avg_bits"],)
     else:
         @jax.jit

@@ -39,6 +39,7 @@ class Predictor:
         conf_threshold: float = 0.25,
         iou_threshold: float = 0.45,
         max_det: int = 1000,
+        pre_topk: Optional[int] = None,
         class_names: Optional[Dict[int, str]] = None,
         bit_mapping: str = "mlp",
         grid_size: int = 8,
@@ -98,6 +99,13 @@ class Predictor:
         self.conf_threshold = conf_threshold
         self.iou_threshold = iou_threshold
         self.max_det = max_det
+        # NMS candidate-pool size: the greedy core's cost is linear in it
+        # (evidence/r3/nms_breakdown_bs256.json), and at the deployed
+        # conf=0.25 gate a trained model passes far fewer candidates than
+        # even max_det, so default to the smallest pool that can still
+        # fill max_det (rounded up to the 128-lane block), capped at 1024.
+        self.pre_topk = (int(pre_topk) if pre_topk is not None
+                         else min(1024, max(512, -(-max_det // 128) * 128)))
         self.class_names = class_names or meta.get("names") or {
             i: f"class{i}" for i in range(num_classes)
         }
@@ -183,6 +191,7 @@ class Predictor:
             conf_threshold=self.conf_threshold,
             iou_threshold=self.iou_threshold,
             max_det=self.max_det,
+            pre_topk=self.pre_topk,
         )
         return det + (aux["avg_bits"], aux["complexity_map"][0], aux["bit_map"][0])
 
@@ -336,6 +345,8 @@ def main(argv=None):
     parser.add_argument("--conf", type=float, default=0.25)
     parser.add_argument("--iou", type=float, default=0.45)
     parser.add_argument("--max-det", type=int, default=1000)
+    parser.add_argument("--pre-topk", type=int, default=None,
+                        help="NMS candidate-pool size (default: auto from max-det)")
     parser.add_argument("--img-size", type=int, default=640)
     parser.add_argument("--num-classes", type=int, default=80)
     parser.add_argument("--variant", default="yolov8n")
@@ -348,6 +359,7 @@ def main(argv=None):
         args.model, num_classes=args.num_classes, variant=args.variant,
         img_size=args.img_size, conf_threshold=args.conf,
         iou_threshold=args.iou, max_det=args.max_det,
+        pre_topk=args.pre_topk,
     )
 
     src = Path(args.source)

@@ -253,45 +253,57 @@ def decode_and_nms(
     tensor is never materialized, which at bs=128/nc=80 removes a 344 MB
     HBM round-trip from every forward.
 
-    Decode runs PER SCALE and only the decoded (B, A, 4)/(B, A) tensors are
-    concatenated — concatenating the raw 4*REG_MAX+nc channel maps first
-    (as decode_predictions does) writes + re-reads a (B, A, 144) f32
-    intermediate (2.5 GB round trip at bs=256/640px) that the decoded
-    output makes redundant."""
-    from ..ops.nms import batched_nms_from_best
+    LATE DECODE: candidate selection (top-k over the per-anchor best
+    logit — monotone with the sigmoid score, so the selected set and its
+    ranking are identical to selecting over scores) runs BEFORE box
+    decode, and the DFL softmax + anchor arithmetic touch only the k
+    selected anchors instead of all A.  At bs=256/640px that is 8400 -> k
+    anchors' worth of (4, REG_MAX) softmax work and cuts the decode stage
+    from 6.7 ms to the cost of one (B, A) top-k + a (B, k, 64) gather
+    (`evidence/r3/nms_breakdown_bs256.json`).  Equivalence to the
+    decode-everything path is pinned bitwise by
+    tests/test_nms_eval.py::test_fused_decode_and_nms_matches_separate_path."""
+    from ..ops.nms import nms_from_topk
 
     B = raw_maps[0].shape[0]
     feat_shapes = [m.shape[1:3] for m in raw_maps]
     points, strides = make_anchors(feat_shapes)
 
-    boxes_s, score_s, class_s = [], [], []
-    a0 = 0
+    logit_s, class_s, dist_s = [], [], []
     for m in raw_maps:
         flat = m.reshape(B, -1, m.shape[-1])  # (B, a, 4*REG_MAX + nc)
-        a = flat.shape[1]
-        box_dist = flat[..., : 4 * REG_MAX].reshape(B, a, 4, REG_MAX)
         cls_logits = flat[..., 4 * REG_MAX:]
-
-        dist = dfl_decode(box_dist)  # (B, a, 4) ltrb in feature units
-        lt, rb = dist[..., :2], dist[..., 2:]
-        pts = points[None, a0 : a0 + a]
-        std = strides[None, a0 : a0 + a]
-        x1y1 = (pts - lt) * std
-        x2y2 = (pts + rb) * std
-        boxes_s.append(jnp.concatenate([x1y1, x2y2], axis=-1))
-        score_s.append(
-            jax.nn.sigmoid(cls_logits.max(axis=-1).astype(jnp.float32)))
+        logit_s.append(cls_logits.max(axis=-1).astype(jnp.float32))
         class_s.append(cls_logits.argmax(axis=-1).astype(jnp.int32))
-        a0 += a
+        dist_s.append(flat[..., : 4 * REG_MAX])
 
-    boxes = jnp.concatenate(boxes_s, axis=1)
-    best_score = jnp.concatenate(score_s, axis=1)
-    best_class = jnp.concatenate(class_s, axis=1)
-    return batched_nms_from_best(
-        boxes, best_score, best_class,
-        conf_threshold=conf_threshold, iou_threshold=iou_threshold,
-        max_det=max_det, pre_topk=pre_topk, class_agnostic=class_agnostic,
-    )
+    best_logit = jnp.concatenate(logit_s, axis=1)   # (B, A)
+    best_class = jnp.concatenate(class_s, axis=1)   # (B, A) int32
+    box_dist = jnp.concatenate(dist_s, axis=1)      # (B, A, 4*REG_MAX)
+
+    A = best_logit.shape[1]
+    k = min(pre_topk, A)
+    top_logit, top_idx = jax.lax.top_k(best_logit, k)  # (B, k)
+    top_scores = jax.nn.sigmoid(top_logit)
+    # confidence gate by zeroing (below-gate anchors sort to the tail of
+    # the top-k in both orderings, so gating after selection keeps the
+    # alive set identical to gate-then-select)
+    top_scores = jnp.where(top_scores >= conf_threshold, top_scores, 0.0)
+    top_classes = jnp.take_along_axis(best_class, top_idx, axis=1)
+
+    # decode ONLY the selected anchors
+    sel = jnp.take_along_axis(box_dist, top_idx[..., None], axis=1)
+    dist = dfl_decode(sel.reshape(B, k, 4, REG_MAX))  # (B, k, 4)
+    pts = points[top_idx]      # (B, k, 2)
+    std = strides[top_idx]     # (B, k, 1)
+    x1y1 = (pts - dist[..., :2]) * std
+    x2y2 = (pts + dist[..., 2:]) * std
+    top_boxes = jnp.concatenate([x1y1, x2y2], axis=-1)
+
+    fn = lambda b, s, c: nms_from_topk(
+        b, s, c, iou_threshold=iou_threshold, max_det=max_det,
+        class_agnostic=class_agnostic)
+    return jax.vmap(fn)(top_boxes, top_scores, top_classes)
 
 
 class YOLOv8(nn.Module):

@@ -208,8 +208,26 @@ def nms_from_best(
 
     k = min(pre_topk, A)
     top_scores, top_idx = lax.top_k(best_score, k)
-    top_boxes = boxes[top_idx]
-    top_classes = best_class[top_idx]
+    return nms_from_topk(boxes[top_idx], top_scores, best_class[top_idx],
+                         iou_threshold=iou_threshold, max_det=max_det,
+                         class_agnostic=class_agnostic)
+
+
+@partial(jax.jit, static_argnames=("max_det", "class_agnostic"))
+def nms_from_topk(
+    top_boxes: jnp.ndarray,    # (k, 4) xyxy, score-sorted descending
+    top_scores: jnp.ndarray,   # (k,) gated scores (0 = below conf gate)
+    top_classes: jnp.ndarray,  # (k,) int32
+    iou_threshold: float = 0.45,
+    max_det: int = 300,
+    class_agnostic: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Greedy suppression + compaction on an ALREADY-SELECTED candidate set
+    (score-sorted, confidence gate applied by zeroing).  Split out of
+    `nms_from_best` so the late-decode deployed path (`decode_and_nms`)
+    can select candidates over LOGITS and DFL-decode only the k survivors
+    before entering here."""
+    k = top_boxes.shape[0]
     alive = top_scores > 0.0
 
     # class-aware IoU via coordinate offset (skipped when class_agnostic)

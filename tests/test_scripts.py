@@ -196,3 +196,26 @@ def test_bench_nms_run_smoke():
         assert res[f"select_exact_topk{k}_ms"] > 0.0
         assert res[f"select_approx_topk{k}_ms"] > 0.0
         assert res[f"nms_from_decoded_topk{k}_ms"] > 0.0
+
+
+def test_pretopk_equivalence_run_e2e(trained):
+    """Pool-size equivalence contract (scripts/pretopk_equivalence.py): on
+    the tiny trained ckpt the deployed gate passes few candidates, both
+    pools produce identical detections, and the schema is complete."""
+    from pathlib import Path
+
+    from mcaq_yolo_tpu.scripts.pretopk_equivalence import run
+
+    trainer, _, config = trained
+    out = Path(config["output_dir"])
+    ckpt = out / ("best.ckpt" if (out / "best.ckpt").exists() else "last.ckpt")
+    res = run(str(ckpt), config["data"]["yaml_path"], batch_size=4,
+              pools=(32, 128), max_det=16)
+    for g in ("deployed", "eval"):
+        assert res[f"gated_candidates_{g}"]["max"] >= 0
+        for p in (32, 128):
+            assert np.isfinite(res[f"map_{g}_pool{p}"]["map50_95"])
+    # at the deployed 0.25 gate the candidate set fits the small pool, so
+    # the truncation must be invisible
+    if res["gated_candidates_deployed"]["max"] <= 32:
+        assert res["images_with_any_detection_diff_deployed"] == 0
