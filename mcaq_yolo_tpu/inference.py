@@ -27,6 +27,17 @@ from .models import MCAQYOLO
 from .models.yolo import decode_and_nms
 
 
+def auto_pre_topk(max_det: int) -> int:
+    """Serving NMS candidate-pool size: the greedy core's cost is linear
+    in the pool (evidence/r3/nms_breakdown_bs256.json: 15.2/8.3/5.2 ms at
+    1024/512/256, bs=256) and at the deployed conf=0.25 gate a trained
+    model passes far fewer candidates than even max_det
+    (evidence/r3/pretopk_equivalence.json: max 23/image vs max_det=300),
+    so pick the smallest pool that can still fill max_det — rounded up to
+    the 128-lane suppression block, floored at 512, capped at 1024."""
+    return min(1024, max(512, -(-max_det // 128) * 128))
+
+
 class Predictor:
     """Single-image / batch MCAQ-YOLO inference."""
 
@@ -99,13 +110,8 @@ class Predictor:
         self.conf_threshold = conf_threshold
         self.iou_threshold = iou_threshold
         self.max_det = max_det
-        # NMS candidate-pool size: the greedy core's cost is linear in it
-        # (evidence/r3/nms_breakdown_bs256.json), and at the deployed
-        # conf=0.25 gate a trained model passes far fewer candidates than
-        # even max_det, so default to the smallest pool that can still
-        # fill max_det (rounded up to the 128-lane block), capped at 1024.
         self.pre_topk = (int(pre_topk) if pre_topk is not None
-                         else min(1024, max(512, -(-max_det // 128) * 128)))
+                         else auto_pre_topk(max_det))
         self.class_names = class_names or meta.get("names") or {
             i: f"class{i}" for i in range(num_classes)
         }

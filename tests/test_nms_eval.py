@@ -224,3 +224,15 @@ def test_ap_interp_methods():
     ap_coco = _ap_from_pr(recall, precision, "coco")
     assert 0.5 <= ap_voc <= 1.0
     assert 0.5 <= ap_coco <= 1.0
+
+
+def test_auto_pre_topk_sizing():
+    """Serving pool: smallest 128-aligned pool >= max_det, in [512, 1024]."""
+    from mcaq_yolo_tpu.inference import auto_pre_topk
+
+    assert auto_pre_topk(300) == 512
+    assert auto_pre_topk(512) == 512
+    assert auto_pre_topk(513) == 640
+    assert auto_pre_topk(1000) == 1024
+    assert auto_pre_topk(5000) == 1024  # capped: pool never exceeds 1024
+    assert auto_pre_topk(1) == 512     # floored at the measured sweet spot
