@@ -9,3 +9,9 @@ from .mesh import (  # noqa: F401
     shard_batch,
     replicate,
 )
+from .fsdp import (  # noqa: F401
+    fsdp_spec,
+    fsdp_shardings,
+    fsdp_shard,
+    shard_fraction,
+)

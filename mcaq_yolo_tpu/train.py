@@ -14,7 +14,10 @@ on/off choice.  Curriculum subset sampling happens host-side on cached
 complexity scores, keeping batch shapes static (SURVEY.md §7).
 
 Data parallelism: the batch is sharded along the mesh 'data' axis and
-parameters replicated; XLA inserts the ICI gradient all-reduces.
+parameters replicated; XLA inserts the ICI gradient all-reduces.  Set
+`training.parallel: fsdp` to instead shard parameters + optimizer state +
+teacher across the same axis (parallel/fsdp.py — memory capacity for
+yolov8l/x + KD; GSPMD inserts the per-layer all-gathers).
 """
 
 from __future__ import annotations
@@ -414,6 +417,15 @@ class Trainer:
                 f"[MCAQ] data mesh uses {n_use}/{jax.device_count()} devices "
                 f"(batch {self.batch_size} must divide the mesh)"
             )
+        # 'dp' (default) replicates params/optimizer/teacher; 'fsdp' shards
+        # every large leaf across the same mesh (parallel/fsdp.py) — a
+        # memory-capacity option for yolov8l/x + KD at large batch.
+        self.parallel_mode = str(
+            config.get("training", {}).get("parallel", "dp")).lower()
+        if self.parallel_mode not in ("dp", "fsdp"):
+            raise ValueError(
+                f"training.parallel must be 'dp' or 'fsdp', got "
+                f"{self.parallel_mode!r}")
         self._init_state()
 
         self.map_interval = max(
@@ -463,10 +475,24 @@ class Trainer:
                 )
             self.teacher_vars = tvars
 
-        # replicate across the mesh; batches get sharded per step
-        self.state = replicate(self.mesh, self.state)
+        # commit parallel-mode shardings; batches get sharded per step
+        self.state = self._place(self.state)
         if self.teacher_vars is not None:
-            self.teacher_vars = replicate(self.mesh, self.teacher_vars)
+            self.teacher_vars = self._place(self.teacher_vars)
+        if self.parallel_mode == "fsdp":
+            from .parallel.fsdp import shard_fraction
+
+            frac = shard_fraction(self.state, self.mesh)
+            print(f"[MCAQ] FSDP over {self.mesh.size} devices: "
+                  f"{frac:.0%} of train-state elements sharded")
+
+    def _place(self, tree):
+        """Commit the parallel-mode shardings (DP replicate / FSDP shard)."""
+        if self.parallel_mode == "fsdp":
+            from .parallel.fsdp import fsdp_shard
+
+            return fsdp_shard(tree, self.mesh)
+        return replicate(self.mesh, tree)
 
     # ------------------------------------------------------------------
 
@@ -577,7 +603,7 @@ class Trainer:
         analyzer_buf["feature_weights"] = jnp.asarray(alpha, jnp.float32)
         buffers["complexity_analyzer"] = analyzer_buf
         self.state = self.state.replace(buffers=buffers)
-        self.state = replicate(self.mesh, self.state)
+        self.state = self._place(self.state)
         return alpha
 
     def rescore_curriculum(self):
@@ -796,7 +822,7 @@ class Trainer:
             opt_state=payload["opt_state"],
             step=payload["step"],
         )
-        self.state = replicate(self.mesh, self.state)
+        self.state = self._place(self.state)
 
     # ------------------------------------------------------------------
 

@@ -51,6 +51,75 @@ def test_dp_gradient_allreduce_semantics():
     np.testing.assert_allclose(np.asarray(g_dp), np.asarray(g_single), rtol=1e-5)
 
 
+def test_fsdp_spec_rule():
+    """Leaf-wise sharding rule: largest divisible dim, last wins ties,
+    small leaves replicate."""
+    from jax.sharding import PartitionSpec as P
+
+    from mcaq_yolo_tpu.parallel.fsdp import fsdp_spec
+
+    # HWIO conv kernel: O (=64) and I (=64) tie -> LAST dim (O) sharded
+    assert fsdp_spec((3, 3, 64, 64), 8) == P(None, None, None, "data")
+    # I=128 larger than O=64 -> I sharded
+    assert fsdp_spec((3, 3, 128, 64), 8) == P(None, None, "data", None)
+    # small leaf (BN scale) replicates despite divisibility
+    assert fsdp_spec((64,), 8) == P()
+    # large but indivisible dims replicate
+    assert fsdp_spec((3, 3, 129, 67), 8, min_size=0) == P()
+    # single-device mesh replicates everything
+    assert fsdp_spec((3, 3, 128, 128), 1) == P()
+
+
+def test_fsdp_grad_step_matches_single_device():
+    """A jitted grad step with the WEIGHT sharded across the mesh (FSDP)
+    must match the single-device result (GSPMD inserts the all-gather) and
+    must keep the updated weight sharded (ZeRO-3 semantics: the elementwise
+    update stays in the sharded layout)."""
+    from mcaq_yolo_tpu.parallel.fsdp import fsdp_shard, fsdp_shardings
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(64, 64)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(16, 64)).astype(np.float32))
+
+    def loss(w, x):
+        return jnp.mean((x @ w) ** 2)
+
+    def step(w, x):
+        return w - 0.1 * jax.grad(loss)(w, x)
+
+    w_single = step(w, x)
+
+    ws = fsdp_shard(w, mesh, min_size=0)
+    assert not ws.sharding.is_fully_replicated
+    xs = jax.device_put(x, batch_sharding(mesh))
+    w_new = jax.jit(step)(ws, xs)
+    np.testing.assert_allclose(
+        np.asarray(w_new), np.asarray(w_single), rtol=1e-5)
+    # the update must NOT silently gather: output stays sharded
+    assert not w_new.sharding.is_fully_replicated
+
+
+def test_fsdp_shard_fraction_on_model_params():
+    """The rule must shard the bulk of a real model's parameters (the
+    memory-capacity contract) while replicating the small leaves."""
+    from mcaq_yolo_tpu.models import MCAQYOLO
+    from mcaq_yolo_tpu.parallel.fsdp import fsdp_shard, shard_fraction
+
+    mesh = make_mesh(8)
+    model = MCAQYOLO(variant="yolov8n", num_classes=4, bit_mapping="mlp",
+                     grid_size=4)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), training=False)
+    frac = shard_fraction(variables["params"], mesh)
+    assert frac > 0.7, f"only {frac:.0%} of param elements sharded"
+
+    placed = fsdp_shard(variables["params"], mesh)
+    leaves = jax.tree_util.tree_leaves(placed)
+    shard_counts = [len(l.sharding.device_set) for l in leaves]
+    assert max(shard_counts) == 8  # something actually landed sharded
+
+
 def test_full_dp_train_step_8dev():
     """The driver's dryrun path inside the suite: full MCAQ train step (KD +
     fractional-bit STE + Eq.20 + AdamW + Eq.18) over the 8-device mesh."""

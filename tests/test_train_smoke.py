@@ -142,6 +142,58 @@ def test_teacher_export_and_kd_init(trained, tmp_path):
     np.testing.assert_array_equal(leaf_t, leaf_s)
 
 
+def test_trainer_fsdp_mode(tmp_path):
+    """`training.parallel: fsdp` end-to-end: Trainer places the train state
+    sharded across the mesh, a short run produces finite losses, and the
+    checkpoint written from sharded arrays restores into a Predictor."""
+    import jax
+
+    from mcaq_yolo_tpu.inference import Predictor
+    from mcaq_yolo_tpu.parallel.fsdp import shard_fraction
+
+    yaml_path = make_synthetic_dataset(str(tmp_path), n_images=8,
+                                       img_size=IMG, n_classes=4)
+    config = {
+        "model": {"name": "yolov8n", "num_classes": 4, "teacher_path": None},
+        "data": {"yaml_path": yaml_path, "img_size": IMG, "max_boxes": 8},
+        "epochs": 2,
+        "batch_size": 8,  # mesh uses all 8 virtual devices
+        "learning_rate": 1e-3,
+        "quantization": {"min_bits": 2, "max_bits": 8, "target_bits": 4.0,
+                         "grid_size": 8, "bit_mapping": "linear"},
+        "curriculum": {"enabled": True, "warmup_epochs": 1,
+                       "transition_epochs": 1, "initial_temperature": 10.0},
+        "distillation": {"enabled": False},
+        "training": {"map_interval": 1, "amp": False, "parallel": "fsdp"},
+        "seed": 0,
+        "output_dir": str(tmp_path / "outputs"),
+    }
+    trainer = Trainer(config)
+    assert trainer.parallel_mode == "fsdp"
+    # the bulk of the state must actually be sharded, not replicated
+    assert shard_fraction(trainer.state.params, trainer.mesh) > 0.5
+    leaves = jax.tree_util.tree_leaves(trainer.state.params)
+    assert any(not l.sharding.is_fully_replicated for l in leaves)
+
+    results = trainer.train()
+    for h in trainer.history:
+        assert np.isfinite(h["loss_total"])
+    # state stays sharded through jitted update steps
+    leaves = jax.tree_util.tree_leaves(trainer.state.params)
+    assert any(not l.sharding.is_fully_replicated for l in leaves)
+
+    ckpt = Path(config["output_dir"]) / "last.ckpt"
+    assert ckpt.exists()
+    pred = Predictor(str(ckpt), num_classes=4, variant="yolov8n",
+                     img_size=IMG, bit_mapping="linear", warmup=False)
+    out = pred.predict(np.zeros((IMG, IMG, 3), np.uint8))
+    assert np.isfinite(out["avg_bits"])
+
+    with pytest.raises(ValueError):
+        Trainer({**config, "training": {"parallel": "zz"},
+                 "output_dir": str(tmp_path / "o2")})
+
+
 def test_bit_mapper_excluded_from_weight_decay():
     """The AdamW decay mask must mark every bit_mapper parameter False
     (excluded) and detector parameters True — guarding against the
