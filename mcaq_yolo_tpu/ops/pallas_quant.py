@@ -47,12 +47,13 @@ Kernel design (deliberately different from the CUDA formulation):
         and multiplies each half of the 128 lanes separately.
 
 STATUS — parity-contract artifact, NOT the production path (VERDICT r2
-item 4 verdict, measured outputs/r3/kernel_bench_bf16.json, bf16 + mask,
-fori-chained, sync-corrected):
-    yolov8n 3-scale total   bs=32: v4 3.48ms vs XLA single-pass 3.53ms
-                            bs=128: v4 5.03ms vs XLA single-pass 3.39ms
-v4 closed most of v3's gap (P4/P5 now match or beat XLA) but the packed
-P3 at bs=128 sits at ~81 GB/s vs XLA's ~173 GB/s: the XLA compose derives
+item 4 verdict, measured evidence/r3/kernel_bench_bf16.json, bf16 + mask,
+fori-chained, sync-corrected; regenerate with
+`python -m mcaq_yolo_tpu.scripts.bench_quant_kernel --bf16`):
+    yolov8n 3-scale total   bs=32:  v4 2.01ms vs XLA single-pass 1.73ms
+                            bs=128: v4 4.21ms vs XLA single-pass 2.78ms
+v4 closed most of v3's gap (P5 now beats XLA, P4 within ~10%) but the
+packed P3 at bs=128 sits at ~95 GB/s vs XLA's ~246 GB/s: the XLA compose derives
 the bit selection in-register from the tiny (B, Ht, Wt) map (zero extra
 HBM traffic, and it fuses into neighbors), while any kernel formulation
 that ships pixel-resolution scalar planes pays for them.  A block-budget

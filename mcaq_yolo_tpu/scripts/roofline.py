@@ -56,7 +56,14 @@ def run(variant="yolov8n", batch=256, img=640, iters=20,
     def e2e(v, x):
         raw, aux = model.apply(v, x, temperature=1.0, quantize=True,
                                training=False)
-        return decode_and_nms(raw, 80) + (aux["avg_bits"],)
+        # the DEPLOYED configuration — same as bench.py's e2e arm and
+        # Predictor's serving defaults (conf 0.25 / iou 0.45 / max_det 300,
+        # pool auto-sized to 512 >= max_det): the roofline judges the path
+        # users actually run, not the eval-protocol pool (pre_topk=1024,
+        # conf 0.001), whose greedy-NMS cost scales with the pool.
+        return decode_and_nms(raw, 80, conf_threshold=0.25,
+                              iou_threshold=0.45, max_det=300,
+                              pre_topk=512) + (aux["avg_bits"],)
 
     t_e2e = timed(e2e, variables, images, iters=iters) * 1e3
     bd["decode_nms_ms"] = t_e2e - bd["full_ms"]
