@@ -1,21 +1,41 @@
 """
-MCAQ-YOLO-TPU benchmark — prints ONE JSON line:
+MCAQ-YOLO-TPU benchmark — prints ONE JSON line per completed stage, the
+LAST line being the most complete result:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
-Headline metric (BASELINE.json north star): 640px images/sec/chip for
-batched yolov8n MCAQ inference (quantized forward through the fused
-quantization path) on the real TPU.
+Headline metric (BASELINE.json north star): 640px images/sec/chip for the
+DEPLOYED yolov8n MCAQ program — quantized forward + box decode + NMS, the
+same device program Predictor/eval run (reference inference.py:194-243).
 
-Extra metrics (BASELINE config #5 coverage, VERDICT r1 item 3):
-  * infer batch sweep 32/128/256 (bf16) + the bs=256 point
-  * MFU vs the chip's bf16 peak (roofline context for the headline)
-  * yolov8m MCAQ TRAIN step images/sec/chip (full loss, quantize on)
+STRUCTURE (VERDICT r3 item 1 — the round-3 bench timed out under the
+driver with zero output, rc=124):
+  1. The single best-known deployable configuration is measured FIRST and
+     its complete JSON line printed IMMEDIATELY.
+  2. Extra arms run afterwards, each gated on the remaining wall-clock
+     budget (BENCH_TIME_BUDGET_S, default 330 s); after each arm an
+     UPDATED complete JSON line is printed, so whatever the driver's tail
+     parse finds is a full record.
+  3. A daemon watchdog enforces a hard deadline (budget + 45 s grace):
+     a mid-run tunnel hang can no longer swallow the headline — the
+     process exits 0 with the already-printed lines on stdout (or exits 2
+     with a diagnosable error JSON if not even the headline landed).
+
+Extra arms (BASELINE config #5 coverage), budget permitting:
+  * e2e bs128 + the reference-faithful full-res-morphology (ds1) arm
+  * forward-only bs256 + MFU vs the chip's bf16 peak (roofline context)
   * an explicit Pallas-backend inference arm (backend='pallas')
+  * yolov8m MCAQ TRAIN step images/sec/chip (full loss, quantize on)
+  * a measured torch-CPU reference-fallback rate (BASELINE.md's actual
+    contract baseline: the reference's pure-PyTorch path — VERDICT r3
+    item 8), run on the host CPU via the vendored Ultralytics-topology
+    fixture + the reference's own quantizer/analyzer modules
 
 vs_baseline: the reference repo publishes no measured numbers
 (BASELINE.md — "no trained weights, no paper-table configs/results");
 its only latency anchor is the paper's 151 FPS claim
 (reference README.md:375-379), so vs_baseline = images_per_sec / 151.0.
+The measured torch-CPU fallback rate in `extra` anchors it to something
+actually measured on this host.
 
 Set BENCH_QUICK=1 to print only the headline (skips the extra arms).
 """
@@ -25,6 +45,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -67,7 +88,6 @@ def _infer_imgs_per_sec(variant, batch, img, iters, dtype, backend="auto",
     deployable configuration, not just the forward)."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from mcaq_yolo_tpu.models import MCAQYOLO
 
@@ -82,9 +102,17 @@ def _infer_imgs_per_sec(variant, batch, img, iters, dtype, backend="auto",
     model = MCAQYOLO(variant=variant, num_classes=nc, bit_mapping=bit_mapping,
                      dtype=dtype, quant_backend=backend,
                      morph_downsample=morph_ds)
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.random((batch, img, img, 3), np.float32))
-    variables = model.init(jax.random.PRNGKey(0), images[:1], training=False)
+    # generate inputs ON-DEVICE and JIT the init: host-side numpy RNG for a
+    # bs=256 640px batch (1.2 GB) costs ~90 s on this 1-core host plus
+    # ~70 s of transfer over the tunnel, and flax's eager init dispatches
+    # the whole model op-by-op over the tunnel (~277 s measured) — these
+    # three dominated the round-3 bench timeout, not the compiles
+    # (measured stage breakdown: evidence/r4/bench_stage_timing.md)
+    images = jax.random.uniform(jax.random.PRNGKey(1),
+                                (batch, img, img, 3), jnp.float32)
+    variables = jax.jit(
+        lambda k, x: model.init(k, x, training=False)
+    )(jax.random.PRNGKey(0), images[:1])
     if ckpt and os.path.exists(ckpt):
         # bench a TRAINED checkpoint (frozen EMA calibration, trained bit
         # mapper — the deployed quant-path branches) instead of random init
@@ -100,7 +128,14 @@ def _infer_imgs_per_sec(variant, batch, img, iters, dtype, backend="auto",
         variables = jax.device_put(variables)
 
     if e2e:
+        from mcaq_yolo_tpu.inference import auto_pre_topk
         from mcaq_yolo_tpu.models.yolo import decode_and_nms
+
+        # the measured-safe serving pool (VERDICT r3 item 4): 256 at the
+        # deployed conf=0.25 gate — equivalence + >=10x headroom certified
+        # on a trained checkpoint (evidence/r3/pretopk_equivalence.json),
+        # saturation guarded at runtime by Predictor's gated-count check
+        pool = auto_pre_topk(300, conf_threshold=0.25)
 
         @jax.jit
         def forward(variables, images):
@@ -110,13 +145,9 @@ def _infer_imgs_per_sec(variant, batch, img, iters, dtype, backend="auto",
             )
             # the fused deployed program (Predictor/eval_step): class-max
             # over logits inside decode, no (B, A, nc) score tensor
-            # pre_topk=512 = Predictor's pool size at max_det=300: the
-            # greedy core is linear in the pool and 512 >= max_det; with a
-            # conf=0.25 gate the alive set is identical in practice
-            # (scripts/pretopk_equivalence.py pins this on the trained ckpt)
             det = decode_and_nms(raw_maps, nc, conf_threshold=0.25,
                                  iou_threshold=0.45, max_det=300,
-                                 pre_topk=512)
+                                 pre_topk=pool)
             return det + (aux["avg_bits"],)
     else:
         @jax.jit
@@ -149,15 +180,19 @@ def _train_imgs_per_sec(variant, batch, img, iters):
     rng = np.random.default_rng(0)
     M = 16
     batch_d = {
-        "image": jnp.asarray(rng.random((batch, img, img, 3), np.float32)),
+        # images on-device (see _infer_imgs_per_sec: host RNG + tunnel
+        # transfer dwarf the measurement); labels are tiny, host is fine
+        "image": jax.random.uniform(jax.random.PRNGKey(1),
+                                    (batch, img, img, 3), jnp.float32),
         "gt_boxes": jnp.asarray(
             np.sort(rng.uniform(0, img, (batch, M, 2, 2)), axis=2)
             .reshape(batch, M, 4).astype(np.float32)),
         "gt_classes": jnp.asarray(rng.integers(0, 80, (batch, M)), jnp.int32),
         "gt_mask": jnp.asarray(rng.random((batch, M)) < 0.5),
     }
-    variables = model.init(jax.random.PRNGKey(0), batch_d["image"][:1],
-                           training=False)
+    variables = jax.jit(
+        lambda k, x: model.init(k, x, training=False)
+    )(jax.random.PRNGKey(0), batch_d["image"][:1])
     params = variables["params"]
     if "bit_mapper" in params:
         params["bit_mapper"] = enforce_monotonic_params(params["bit_mapper"])
@@ -187,6 +222,66 @@ def _train_imgs_per_sec(variant, batch, img, iters):
         new_state, m = run(new_state)
     _sync(m["avg_bits"])
     return batch * iters / (time.perf_counter() - t0)
+
+
+def _torch_cpu_fallback_imgs_per_sec(img=640, iters=2):
+    """BASELINE.md's practical contract baseline, actually measured: the
+    reference's pure-PyTorch fallback semantics on the host CPU — the
+    vendored Ultralytics-topology yolov8n fixture with the REFERENCE's own
+    analyzer -> bit-mapper -> SpatialAdaptiveQuantization modules running
+    per-forward at C3/C4/C5 (the reference's hook points,
+    reference models/mcaq_yolo.py:402-473).  bs=1, eval mode — the
+    reference has no batched serving path."""
+    import types
+
+    # the reference's core pulls in skimage at import for its cv2 backend;
+    # only the torch surrogate path runs here, so stub the one symbol
+    if "skimage" not in sys.modules:
+        sk = types.ModuleType("skimage")
+        feat = types.ModuleType("skimage.feature")
+        feat.local_binary_pattern = lambda *a, **k: (_ for _ in ()).throw(
+            NotImplementedError("skimage stub"))
+        sk.feature = feat
+        sys.modules["skimage"] = sk
+        sys.modules["skimage.feature"] = feat
+    if "/root/reference" not in sys.path:
+        sys.path.append("/root/reference")
+    tests_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tests")
+    if tests_dir not in sys.path:
+        sys.path.append(tests_dir)
+
+    import torch
+    from torch_yolo_fixture import TYOLOv8n
+
+    from mcaq_yolo.core.bit_allocation import ComplexityToBitMappingNetwork
+    from mcaq_yolo.core.morphology import MorphologicalComplexityAnalyzer
+    from mcaq_yolo.core.quantization import SpatialAdaptiveQuantization
+
+    torch.manual_seed(0)
+    torch.set_num_threads(max(1, os.cpu_count() or 1))
+    tmodel = TYOLOv8n(nc=80).eval()
+    analyzer = MorphologicalComplexityAnalyzer(
+        device="cpu", metric_backend="gpu").eval()
+    mapper = ComplexityToBitMappingNetwork().eval()
+    quants = [SpatialAdaptiveQuantization(per_channel=True).eval()
+              for _ in range(3)]
+
+    def quant_fn(feat, i):
+        with torch.no_grad():
+            c = analyzer(feat)
+            bits = mapper(c, temperature=1.0)
+            quants[i].update_running_stats(feat)
+            return quants[i](feat, bits, training=False)
+
+    x = torch.rand(1, 3, img, img)
+    with torch.no_grad():
+        tmodel(x, quant_fn=quant_fn)  # warmup (also calibrates EMA stats)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            tmodel(x, quant_fn=quant_fn)
+        dt = time.perf_counter() - t0
+    return iters / dt
 
 
 def _ensure_backend():
@@ -234,12 +329,38 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    t_start = time.monotonic()
+    budget = float(os.environ.get("BENCH_TIME_BUDGET_S", "330"))
+    state = {"emitted": False, "result": None}
+
+    def remaining():
+        return budget - (time.monotonic() - t_start)
+
+    def _watchdog():
+        # hard deadline: budget + grace.  Anything still running past it
+        # (a hung tunnel mid-arm) is abandoned; the already-printed JSON
+        # lines ARE the result.  os._exit because a thread blocked inside
+        # the tunnel's C connect wedges normal interpreter teardown.
+        time.sleep(budget + 45.0)
+        if state["emitted"]:
+            sys.stdout.flush()
+            os._exit(0)
+        print(json.dumps({
+            "metric": "images_per_sec", "value": 0.0, "unit": "img/s",
+            "vs_baseline": 0.0,
+            "error": "headline arm did not complete within "
+                     f"BENCH_TIME_BUDGET_S={budget:.0f}s + 45s grace",
+        }))
+        sys.stdout.flush()
+        os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     _ensure_backend()
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
     img = int(os.environ.get("BENCH_IMG", "640"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
@@ -247,70 +368,111 @@ def main():
     variant = os.environ.get("BENCH_VARIANT", "yolov8n")
     quick = os.environ.get("BENCH_QUICK", "0") == "1"
 
-    # HEADLINE = the best DEPLOYABLE configuration (VERDICT r2 item 2):
-    # forward + box decode + NMS — the program the Predictor actually runs
-    # (reference inference.py:194-243) — best over the batch sweep.
-    if quick:
-        headline = _infer_imgs_per_sec(variant, batch, img, iters, dtype,
-                                       e2e=True)
-        e2e_sweep = {f"bs{batch}": round(headline, 1)}
-        extra = {}
-    else:
-        # Two DEPLOYED configs are swept: the reference-faithful full-res
-        # morphology estimator (ds1) and the quality-certified half-res
-        # estimator (ds2 — delta mAP@50-95 -0.0001 on a spatially-varying
-        # 640px checkpoint, outputs/r3/downsample_fidelity_spread.json /
-        # PARITY.md).  Headline = best deployable across both.
-        e2e_sweep, e2e_sweep_ds2 = {}, {}
-        for b in (batch, 128, 256):
-            e2e_sweep[f"bs{b}"] = round(
-                _infer_imgs_per_sec(variant, b, img, max(4, iters // 4),
-                                    dtype, e2e=True), 1)
-            e2e_sweep_ds2[f"bs{b}"] = round(
-                _infer_imgs_per_sec(variant, b, img, max(4, iters // 4),
-                                    dtype, e2e=True, morph_ds=2), 1)
-        headline = max(max(e2e_sweep.values()), max(e2e_sweep_ds2.values()))
+    extra = {}
+    skipped = []
 
-        extra = {}
-        extra["e2e_ds2_sweep_imgs_per_sec"] = e2e_sweep_ds2
-        extra["headline_morph_downsample"] = (
-            1 if max(e2e_sweep.values()) >= max(e2e_sweep_ds2.values())
-            else 2)
-        sweep = {}
-        for b in (batch, 128, 256):
-            sweep[f"bs{b}"] = round(
-                _infer_imgs_per_sec(variant, b, img, max(4, iters // 4),
-                                    dtype), 1)
-        extra["fwd_only_sweep_imgs_per_sec"] = sweep
-        sweep_ds2 = {}
-        for b in (128, 256):
-            sweep_ds2[f"bs{b}"] = round(
-                _infer_imgs_per_sec(variant, b, img, max(4, iters // 4),
-                                    dtype, morph_ds=2), 1)
-        extra["fwd_ds2_sweep_imgs_per_sec"] = sweep_ds2
-        best_fwd = max(max(sweep.values()), max(sweep_ds2.values()))
+    def emit(headline):
+        result = {
+            "metric": f"{variant}_mcaq_e2e_infer_640_images_per_sec_per_chip",
+            "value": round(headline, 2),
+            "unit": "images/sec",
+            "vs_baseline": round(headline / PAPER_FPS_BASELINE, 3),
+            "extra": dict(extra, skipped_arms=list(skipped),
+                          wall_s=round(time.monotonic() - t_start, 1)),
+        }
+        print(json.dumps(result))
+        sys.stdout.flush()
+        state["emitted"] = True
+        state["result"] = result
+
+    # ---- HEADLINE FIRST (VERDICT r3 item 1) -----------------------------
+    # the best-known deployable config: bs=256 e2e, half-res morphology
+    # estimator (quality-certified: delta mAP@50-95 -0.0001 on a
+    # spatially-varying 640px checkpoint, PARITY.md), pool=256 NMS
+    hb = int(os.environ.get("BENCH_HEADLINE_BATCH", "256"))
+    headline = _infer_imgs_per_sec(variant, hb, img, max(4, iters // 4),
+                                   dtype, e2e=True, morph_ds=2)
+    e2e_sweep = {f"bs{hb}_ds2": round(headline, 1)}
+    extra["e2e_decode_nms_sweep_imgs_per_sec"] = e2e_sweep
+    emit(headline)
+    if quick:
+        return state["result"]
+
+    # ---- extra arms, budget-gated, cheapest-information-first -----------
+    # each closure returns an updated headline (or None to keep it)
+    def arm_e2e(b, ds):
+        v = _infer_imgs_per_sec(variant, b, img, max(4, iters // 4), dtype,
+                                e2e=True, morph_ds=ds)
+        e2e_sweep[f"bs{b}_ds{ds}"] = round(v, 1)
+        return max(headline, v)
+
+    def arm_fwd(b, ds):
+        v = _infer_imgs_per_sec(variant, b, img, max(4, iters // 4), dtype,
+                                morph_ds=ds)
+        extra.setdefault("fwd_only_imgs_per_sec", {})[f"bs{b}_ds{ds}"] = \
+            round(v, 1)
         gflops = GFLOPS_640.get(variant)
         if gflops and img == 640:
             extra["fwd_mfu_pct_bf16_peak"] = round(
-                best_fwd * gflops / 1e3 / V5E_BF16_PEAK_TFLOPS * 100, 2)
+                v * gflops / 1e3 / V5E_BF16_PEAK_TFLOPS * 100, 2)
             extra["e2e_mfu_pct_bf16_peak"] = round(
                 headline * gflops / 1e3 / V5E_BF16_PEAK_TFLOPS * 100, 2)
+        return None
+
+    def arm_pallas():
         extra["infer_pallas_backend_imgs_per_sec"] = round(
-            _infer_imgs_per_sec(variant, batch, img, max(4, iters // 2),
+            _infer_imgs_per_sec(variant, 32, img, max(4, iters // 2),
                                 dtype, backend="pallas"), 1)
+        return None
+
+    def arm_train():
         extra["train_yolov8m_bs32_imgs_per_sec_per_chip"] = round(
             _train_imgs_per_sec("yolov8m", 32, img, max(4, iters // 4)), 1)
-    extra["e2e_decode_nms_sweep_imgs_per_sec"] = e2e_sweep
+        return None
 
-    result = {
-        "metric": f"{variant}_mcaq_e2e_infer_640_images_per_sec_per_chip",
-        "value": round(headline, 2),
-        "unit": "images/sec",
-        "vs_baseline": round(headline / PAPER_FPS_BASELINE, 3),
-        "extra": extra,
-    }
-    print(json.dumps(result))
-    return result
+    def arm_torch_cpu():
+        extra["torch_cpu_fallback_imgs_per_sec"] = round(
+            _torch_cpu_fallback_imgs_per_sec(img=img), 3)
+        if extra["torch_cpu_fallback_imgs_per_sec"] > 0:
+            extra["vs_torch_cpu_fallback"] = round(
+                headline / extra["torch_cpu_fallback_imgs_per_sec"], 1)
+        return None
+
+    # (name, est seconds WARM-cache, fn) — est guards the budget gate; a
+    # cold compile overshoots but the watchdog bounds the damage and the
+    # persistent .jax_cache makes driver runs warm in practice
+    arms = [
+        ("e2e_bs128_ds2", 40, lambda: arm_e2e(128, 2)),
+        ("e2e_bs256_ds1", 40, lambda: arm_e2e(256, 1)),
+        ("fwd_bs256_ds2", 40, lambda: arm_fwd(256, 2)),
+        ("torch_cpu_fallback", 45, arm_torch_cpu),
+        ("pallas_bs32", 35, arm_pallas),
+        ("train_yolov8m_bs32", 60, arm_train),
+    ]
+    for name, est, fn in arms:
+        if remaining() < est + 20:
+            skipped.append(name)
+            continue
+        try:
+            new_headline = fn()
+        except Exception as e:  # an arm must never kill the record
+            extra.setdefault("arm_errors", {})[name] = repr(e)[:200]
+            continue
+        if new_headline is not None:
+            headline = new_headline
+        emit(headline)
+
+    emit(headline)
+    # leave a builder-side copy with a trailing newline (ADVICE r3)
+    try:
+        ev_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "evidence")
+        os.makedirs(ev_dir, exist_ok=True)
+        with open(os.path.join(ev_dir, "bench_last.json"), "w") as f:
+            f.write(json.dumps(state["result"], indent=2) + "\n")
+    except OSError:
+        pass
+    return state["result"]
 
 
 if __name__ == "__main__":

@@ -30,6 +30,9 @@ class CurriculumScheduler:
         target_bits: float = 4.0,
         curriculum_type: str = "exponential",  # 'linear'|'exponential'|'cosine'|'step'
         lambda_smooth: float = 0.1,     # Table X lambda2; scale down for finer grids
+        lambda_bit_gate: bool = True,   # gate lambda1 during the alpha_t-saturation window
+        min_bits: float = 2.0,          # bit-mapper output range (for the gate threshold)
+        max_bits: float = 8.0,
     ):
         self.warmup_epochs = warmup_epochs
         self.transition_epochs = transition_epochs
@@ -40,6 +43,9 @@ class CurriculumScheduler:
         self.target_bits = target_bits
         self.curriculum_type = curriculum_type
         self.lambda_smooth = lambda_smooth
+        self.lambda_bit_gate = lambda_bit_gate
+        self.min_bits = min_bits
+        self.max_bits = max_bits
         self.current_epoch = 0
 
     # -- stage ---------------------------------------------------------
@@ -112,13 +118,50 @@ class CurriculumScheduler:
         update_interval = 10
         return epoch > self.warmup_epochs and epoch % update_interval == 0
 
+    # -- lambda1 saturation gate ------------------------------------------
+    def get_bit_budget_gate(self, epoch: int) -> float:
+        """Gate factor in [0, 1] on lambda1 during the alpha_t-saturation
+        window — the fix for the MLP-mapper collapse (PARITY.md
+        "MLP-mapper degeneracy"; VERDICT r3 item 2).
+
+        While alpha_t still clamps the whole map at max_bits, avg_bits is
+        max_bits REGARDLESS of the mapper's parameters, so Lbit's STE
+        gradient is pure one-sided crush pressure that the detection loss
+        cannot counter (everything is still 8-bit, quantization is
+        harmless) — that window is what drives the Eq.13-18 mapper into
+        its two absorbing states (projection zero-trap / dead-ReLU trap).
+        The map first LEAVES saturation when alpha_t * b(C) < max_bits for
+        mid-range tiles, i.e. below alpha_sat = max_bits / b_mid with
+        b_mid = (min_bits + max_bits) / 2 (1.6 for the default [2, 8]
+        range).  The gate ramps lambda1 in linearly over
+        alpha_t in [alpha_sat, 1.1]: zero while the map is pinned, full
+        strength once the allocation is live (alpha_t <= 1.1, ~90% through
+        the exponential anneal — alpha_t only reaches 1 asymptotically)
+        and detection loss provides the counter-pressure.
+        Schedule-structural and data-free — pure reference semantics
+        otherwise (the Eq.18 |W| projection and the 'abs'
+        parameterization are untouched)."""
+        if not self.lambda_bit_gate:
+            return 1.0
+        b_mid = 0.5 * (self.min_bits + self.max_bits)
+        alpha_sat = self.max_bits / max(b_mid, 1e-6)
+        alpha_floor = 1.1
+        if alpha_sat <= alpha_floor:
+            return 1.0
+        alpha = self.get_temperature(epoch)
+        return min(1.0, max(0.0,
+                            (alpha_sat - alpha) / (alpha_sat - alpha_floor)))
+
     # -- loss weights (paper Eq.20 + Table X) ------------------------------
     def get_loss_weights(self, epoch: int) -> Dict[str, float]:
-        """lambda1 annealed 0.01 -> 0.1; lambda2 ramped 0 -> lambda_smooth
+        """lambda1 annealed 0.01 -> 0.1, gated by the alpha_t-saturation
+        window (see get_bit_budget_gate; disable with lambda_bit_gate=False
+        for the reference-exact schedule); lambda2 ramped 0 -> lambda_smooth
         across the transition stage (nothing to smooth during the
         high-precision warm-up); lambda3 = 0.5; lambda4 = 1e-4."""
         progress = min(epoch / max(1, self.total_epochs), 1.0)
         lambda1 = 0.01 + (0.1 - 0.01) * progress
+        lambda1 *= self.get_bit_budget_gate(epoch)
 
         span = max(1, self.transition_epochs - self.warmup_epochs)
         ramp = min(1.0, max(0.0, (epoch - self.warmup_epochs) / span))

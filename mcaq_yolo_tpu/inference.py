@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import json
 import time
+import warnings
 from functools import partial
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence
@@ -27,15 +28,22 @@ from .models import MCAQYOLO
 from .models.yolo import decode_and_nms
 
 
-def auto_pre_topk(max_det: int) -> int:
+def auto_pre_topk(max_det: int, conf_threshold: float = 0.25) -> int:
     """Serving NMS candidate-pool size: the greedy core's cost is linear
     in the pool (evidence/r3/nms_breakdown_bs256.json: 15.2/8.3/5.2 ms at
-    1024/512/256, bs=256) and at the deployed conf=0.25 gate a trained
-    model passes far fewer candidates than even max_det
-    (evidence/r3/pretopk_equivalence.json: max 23/image vs max_det=300),
-    so pick the smallest pool that can still fill max_det — rounded up to
-    the 128-lane suppression block, floored at 512, capped at 1024."""
-    return min(1024, max(512, -(-max_det // 128) * 128))
+    1024/512/256, bs=256), and the pool only has to cover the ABOVE-GATE
+    candidate set — not max_det: gated candidates are what fill it, and a
+    trained model passes 23/image max at the deployed conf=0.25 gate and
+    146/image max even at the eval conf=0.001 gate
+    (evidence/r3/pretopk_equivalence.json, bitwise-identical detections at
+    pools 512 and 1024).  So: the equivalence-certified minimum of 256
+    (two 128-lane suppression blocks, >=10x deployed headroom) for
+    deployed gates, 512 (>=3.5x headroom) for low-confidence eval gates.
+    The headroom contract is asserted at RUNTIME: `decode_and_nms(...,
+    with_pool_stats=True)` reports the per-image gated count and
+    `Predictor.predict*` warns loudly if it ever saturates the pool."""
+    del max_det  # output slots are padded; gate count is what fills a pool
+    return 256 if conf_threshold >= 0.25 else 512
 
 
 class Predictor:
@@ -111,7 +119,7 @@ class Predictor:
         self.iou_threshold = iou_threshold
         self.max_det = max_det
         self.pre_topk = (int(pre_topk) if pre_topk is not None
-                         else auto_pre_topk(max_det))
+                         else auto_pre_topk(max_det, conf_threshold))
         self.class_names = class_names or meta.get("names") or {
             i: f"class{i}" for i in range(num_classes)
         }
@@ -192,14 +200,30 @@ class Predictor:
         raw, aux = self.model.apply(
             variables, images, temperature=1.0, quantize=True, training=False
         )
-        det = decode_and_nms(
+        *det, gated_count = decode_and_nms(
             raw, self.num_classes,
             conf_threshold=self.conf_threshold,
             iou_threshold=self.iou_threshold,
             max_det=self.max_det,
             pre_topk=self.pre_topk,
+            with_pool_stats=True,
         )
-        return det + (aux["avg_bits"], aux["complexity_map"][0], aux["bit_map"][0])
+        return tuple(det) + (aux["avg_bits"], aux["complexity_map"][0],
+                             aux["bit_map"][0], gated_count)
+
+    def _check_pool_headroom(self, gated_count) -> None:
+        """Runtime side of the auto_pre_topk headroom contract: the pool is
+        sized to the MEASURED above-gate candidate count, so saturating it
+        means equivalence to a full-pool NMS is no longer certified."""
+        worst = int(np.max(gated_count))
+        if worst >= self.pre_topk:
+            warnings.warn(
+                f"NMS candidate pool saturated: {worst} above-gate "
+                f"candidates hit pre_topk={self.pre_topk}; detections may "
+                "have been cut before suppression. Re-run with a larger "
+                "pre_topk (e.g. 1024) for this data distribution.",
+                RuntimeWarning, stacklevel=3,
+            )
 
     def preprocess(self, image: np.ndarray):
         """Letterbox, keeping uint8 — /255 runs on-device (model-side
@@ -218,8 +242,10 @@ class Predictor:
         # time around the host fetch, not block_until_ready: the latter is a
         # no-op on some tunneled platforms (see bench.py) and the fetched
         # outputs are small (max_det boxes + tile maps)
-        boxes, scores, classes, valid, avg_bits, cmap, bmap = jax.device_get(out)
+        (boxes, scores, classes, valid, avg_bits, cmap, bmap,
+         gated_count) = jax.device_get(out)
         dt_ms = (time.perf_counter() - t0) * 1000.0
+        self._check_pool_headroom(gated_count)
 
         v = valid[0].astype(bool)
         det_boxes = unletterbox_boxes(boxes[0][v], scale, pad, orig_hw)
@@ -294,10 +320,10 @@ class Predictor:
                 )
             t0 = time.perf_counter()
             out = predict_jit(self.variables, jnp.asarray(stack))
-            boxes, scores, classes, valid, avg_bits, cmap, bmap = (
-                jax.device_get(out)
-            )
+            (boxes, scores, classes, valid, avg_bits, cmap, bmap,
+             gated_count) = jax.device_get(out)
             dt_ms = (time.perf_counter() - t0) * 1000.0 / k
+            self._check_pool_headroom(gated_count[:k])
 
             for j in range(k):
                 _, scale, pad = chunk[j]

@@ -242,10 +242,17 @@ def decode_and_nms(
     max_det: int = 300,
     pre_topk: int = 1024,
     class_agnostic: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    with_pool_stats: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
     """Fused deployed-path decode + NMS (the program `Predictor`/`eval_step`
     run; reference inference.py:194-243 runs decode and Ultralytics NMS as
     separate passes).
+
+    with_pool_stats=True appends a (B,) int32 per-image count of above-gate
+    candidates INSIDE the pool — the runtime side of the `auto_pre_topk`
+    headroom contract: gated_count == pre_topk means the pool saturated and
+    above-gate candidates may have been cut (equivalence to a full-pool NMS
+    no longer certified); Predictor warns when it sees that.
 
     The per-anchor best class is reduced over LOGITS before the sigmoid
     (sigmoid is monotone, so winners and scores are identical to
@@ -303,7 +310,11 @@ def decode_and_nms(
     fn = lambda b, s, c: nms_from_topk(
         b, s, c, iou_threshold=iou_threshold, max_det=max_det,
         class_agnostic=class_agnostic)
-    return jax.vmap(fn)(top_boxes, top_scores, top_classes)
+    det = jax.vmap(fn)(top_boxes, top_scores, top_classes)
+    if with_pool_stats:
+        gated_count = (top_scores > 0.0).sum(axis=-1).astype(jnp.int32)
+        return det + (gated_count,)
+    return det
 
 
 class YOLOv8(nn.Module):

@@ -367,6 +367,16 @@ class Trainer:
             initial_complexity=float(ccfg.get("initial_complexity", 0.2)),
             initial_temperature=float(ccfg.get("initial_temperature", 10.0)),
             lambda_smooth=float(ccfg.get("lambda_smooth", 0.1)),
+            target_bits=float(qcfg.get("target_bits", 4.0)),
+            # lambda1 saturation gate (default ON): zero bit-budget
+            # pressure while alpha_t pins the whole map at max_bits — the
+            # window that crushes the reference-default 'abs' mapper into
+            # a uniform allocation (PARITY.md "MLP-mapper degeneracy").
+            # Set curriculum.lambda_bit_gate: false for the
+            # reference-exact (ungated) lambda1 anneal.
+            lambda_bit_gate=bool(ccfg.get("lambda_bit_gate", True)),
+            min_bits=float(qcfg.get("min_bits", 2)),
+            max_bits=float(qcfg.get("max_bits", 8)),
         )
         self.complexity_scores = None
         if ccfg.get("enabled", True):

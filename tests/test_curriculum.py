@@ -8,9 +8,11 @@ from mcaq_yolo_tpu.core.curriculum import CurriculumScheduler
 
 
 def test_curriculum_schedule():
+    # lambda_bit_gate=False: the reference-exact (ungated) lambda1 anneal
     s = CurriculumScheduler(
         warmup_epochs=20, transition_epochs=50, total_epochs=300,
         initial_complexity=0.2, initial_temperature=10.0,
+        lambda_bit_gate=False,
     )
     # stage boundaries
     assert s.get_stage(0) == 1
@@ -45,6 +47,54 @@ def test_curriculum_schedule():
     w_mid = s.get_loss_weights(35)  # halfway through the transition ramp
     assert w_mid["smoothness"] == pytest.approx(0.05)
     assert w0["distillation"] == 0.5 and w0["regularization"] == 1e-4
+
+
+def test_bit_budget_saturation_gate():
+    """lambda1 must be ZERO while alpha_t pins the whole map at max_bits
+    (the crush window that collapses the reference-default 'abs' mapper —
+    PARITY.md "MLP-mapper degeneracy"), ramp in once the allocation is
+    live, and reach full strength by alpha_t <= 1.1."""
+    s = CurriculumScheduler(total_epochs=300, initial_temperature=10.0)
+    # defaults [2, 8] -> alpha_sat = 8 / 5 = 1.6
+    assert s.get_bit_budget_gate(0) == 0.0          # alpha = 10: pinned
+    assert s.get_bit_budget_gate(100) == 0.0        # alpha ~ 2.7: pinned
+    # alpha(150) = 1 + 9 e^-2.5 ~ 1.739 > 1.6: still pinned
+    assert s.get_bit_budget_gate(150) == 0.0
+    # alpha(200) = 1 + 9 e^{-10/3} ~ 1.321: mid-ramp, strictly inside (0,1)
+    g200 = s.get_bit_budget_gate(200)
+    assert 0.0 < g200 < 1.0
+    a200 = s.get_temperature(200)
+    assert g200 == pytest.approx((1.6 - a200) / 0.5)
+    # alpha(280) = 1 + 9 e^{-14/3} ~ 1.085 <= 1.1: full strength
+    assert s.get_bit_budget_gate(280) == 1.0
+    # monotone non-decreasing over the run
+    gates = [s.get_bit_budget_gate(e) for e in range(0, 301, 10)]
+    assert all(b >= a for a, b in zip(gates, gates[1:]))
+
+    # the gate multiplies lambda1 in the loss weights
+    w = s.get_loss_weights(100)
+    assert w["bit_budget"] == 0.0
+    w = s.get_loss_weights(280)
+    assert w["bit_budget"] == pytest.approx(0.01 + 0.09 * (280 / 300))
+
+    # disabled -> reference-exact anneal everywhere
+    s_ref = CurriculumScheduler(total_epochs=300, lambda_bit_gate=False)
+    assert s_ref.get_bit_budget_gate(0) == 1.0
+    assert s_ref.get_loss_weights(0)["bit_budget"] == pytest.approx(0.01)
+
+    # degenerate range (min_bits == max_bits): alpha_sat <= 1.1 -> no gate
+    s_deg = CurriculumScheduler(min_bits=8.0, max_bits=8.0)
+    assert s_deg.get_bit_budget_gate(0) == 1.0
+
+
+def test_curriculum_target_bits_from_config():
+    """The annealed target must follow the configured target_bits (it was
+    silently pinned to the 4.0 default before round 4)."""
+    s = CurriculumScheduler(total_epochs=100, warmup_epochs=10,
+                            target_bits=3.0)
+    assert s.get_target_bits(0) == 8.0
+    assert s.get_target_bits(100) == pytest.approx(
+        3.0 + 5.0 * math.exp(-3.0), rel=1e-6)
 
 
 def test_temperature_variants():

@@ -227,12 +227,41 @@ def test_ap_interp_methods():
 
 
 def test_auto_pre_topk_sizing():
-    """Serving pool: smallest 128-aligned pool >= max_det, in [512, 1024]."""
+    """Serving pool is gate-driven (equivalence-certified minimums from
+    evidence/r3/pretopk_equivalence.json), not max_det-driven: output
+    slots are padded, above-gate candidates are what fill a pool."""
     from mcaq_yolo_tpu.inference import auto_pre_topk
 
-    assert auto_pre_topk(300) == 512
-    assert auto_pre_topk(512) == 512
-    assert auto_pre_topk(513) == 640
-    assert auto_pre_topk(1000) == 1024
-    assert auto_pre_topk(5000) == 1024  # capped: pool never exceeds 1024
-    assert auto_pre_topk(1) == 512     # floored at the measured sweet spot
+    # deployed gate (conf >= 0.25): certified minimum 256 regardless of
+    # requested max_det (measured worst case 23 candidates/image)
+    assert auto_pre_topk(300) == 256
+    assert auto_pre_topk(1000) == 256
+    assert auto_pre_topk(1) == 256
+    # low-confidence eval gates (conf < 0.25): 512 (measured worst case
+    # 146 candidates/image at conf=0.001)
+    assert auto_pre_topk(300, conf_threshold=0.001) == 512
+    assert auto_pre_topk(5000, conf_threshold=0.1) == 512
+
+
+def test_decode_and_nms_pool_stats():
+    """with_pool_stats appends the per-image above-gate candidate count —
+    the runtime side of the auto_pre_topk headroom contract."""
+    from mcaq_yolo_tpu.models.yolo import REG_MAX, decode_and_nms
+
+    rng = np.random.default_rng(0)
+    nc = 4
+    maps = [
+        jnp.asarray(rng.normal(-8.0, 1.0, (2, s, s, 4 * REG_MAX + nc)),
+                    jnp.float32)
+        for s in (8, 4, 2)
+    ]
+    out = decode_and_nms(maps, nc, conf_threshold=0.25, max_det=10,
+                         pre_topk=16, with_pool_stats=True)
+    assert len(out) == 5
+    boxes, scores, classes, valid, gated = out
+    assert gated.shape == (2,) and gated.dtype == jnp.int32
+    # gated counts the alive set exactly: same gate as `valid` before NMS
+    assert int(gated.max()) <= 16
+    # with logits centered at -8 the sigmoid scores sit well below the
+    # gate, so nothing is alive and nothing is detected
+    assert int(gated.sum()) == int(valid.sum()) == 0
