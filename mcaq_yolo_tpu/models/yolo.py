@@ -260,15 +260,26 @@ def decode_and_nms(
     tensor is never materialized, which at bs=128/nc=80 removes a 344 MB
     HBM round-trip from every forward.
 
-    LATE DECODE: candidate selection (top-k over the per-anchor best
-    logit — monotone with the sigmoid score, so the selected set and its
-    ranking are identical to selecting over scores) runs BEFORE box
-    decode, and the DFL softmax + anchor arithmetic touch only the k
-    selected anchors instead of all A.  At bs=256/640px that is 8400 -> k
-    anchors' worth of (4, REG_MAX) softmax work and cuts the decode stage
-    from 6.7 ms to the cost of one (B, A) top-k + a (B, k, 64) gather
-    (`evidence/r3/nms_breakdown_bs256.json`).  Equivalence to the
-    decode-everything path is pinned bitwise by
+    LATE DECODE, MXU-GATHERED: candidate selection (top-k over the
+    per-anchor best logit — monotone with the sigmoid score, so the
+    selected set and its ranking are identical to selecting over scores)
+    runs BEFORE box decode, and the DFL softmax + anchor arithmetic touch
+    only the k selected anchors instead of all A.  Two TPU-specific
+    lowering choices (measured at bs=256/640px/k=256, r4):
+      * the candidate rows are pulled out with PER-SCALE ONE-HOT MATMULS
+        (onehot(top_idx - scale_offset) @ flat_scale, summed over scales)
+        instead of `take_along_axis` — generic gathers cost 12.6 ms here
+        while the equivalent (B,k,a)x(B,a,D) batched matmuls ride the MXU;
+        exact, since each top_idx row lands in exactly one scale's offset
+        window and its one-hot row has a single unit entry (a float sum of
+        one element).  Per-scale (not one big concat) also avoids
+        materializing the 619 MB (B, A, D) copy (12.7 -> 11.3 ms total).
+      * per-anchor ARGMAX over all A anchors is never computed: the class
+        id is recovered from the gathered (B, k, nc) logits of the k
+        survivors (same rows, so identical winners), removing the second
+        full read of the (B, A, nc) logit tensor (7.0 -> 4.1 ms for the
+        remaining single max pass).
+    Equivalence to the decode-everything path is pinned bitwise by
     tests/test_nms_eval.py::test_fused_decode_and_nms_matches_separate_path."""
     from ..ops.nms import nms_from_topk
 
@@ -276,17 +287,9 @@ def decode_and_nms(
     feat_shapes = [m.shape[1:3] for m in raw_maps]
     points, strides = make_anchors(feat_shapes)
 
-    logit_s, class_s, dist_s = [], [], []
-    for m in raw_maps:
-        flat = m.reshape(B, -1, m.shape[-1])  # (B, a, 4*REG_MAX + nc)
-        cls_logits = flat[..., 4 * REG_MAX:]
-        logit_s.append(cls_logits.max(axis=-1).astype(jnp.float32))
-        class_s.append(cls_logits.argmax(axis=-1).astype(jnp.int32))
-        dist_s.append(flat[..., : 4 * REG_MAX])
-
-    best_logit = jnp.concatenate(logit_s, axis=1)   # (B, A)
-    best_class = jnp.concatenate(class_s, axis=1)   # (B, A) int32
-    box_dist = jnp.concatenate(dist_s, axis=1)      # (B, A, 4*REG_MAX)
+    best_logit = jnp.concatenate(
+        [m.reshape(B, -1, m.shape[-1])[..., 4 * REG_MAX:].max(axis=-1)
+         .astype(jnp.float32) for m in raw_maps], axis=1)  # (B, A)
 
     A = best_logit.shape[1]
     k = min(pre_topk, A)
@@ -296,13 +299,29 @@ def decode_and_nms(
     # the top-k in both orderings, so gating after selection keeps the
     # alive set identical to gate-then-select)
     top_scores = jnp.where(top_scores >= conf_threshold, top_scores, 0.0)
-    top_classes = jnp.take_along_axis(best_class, top_idx, axis=1)
 
-    # decode ONLY the selected anchors
-    sel = jnp.take_along_axis(box_dist, top_idx[..., None], axis=1)
-    dist = dfl_decode(sel.reshape(B, k, 4, REG_MAX))  # (B, k, 4)
-    pts = points[top_idx]      # (B, k, 2)
-    std = strides[top_idx]     # (B, k, 1)
+    # per-scale one-hot row selection on the MXU (see docstring); f32
+    # accumulation of a single unit entry is exact in every input dtype
+    sel_all = 0.0  # weakly typed: the sum keeps the raw maps' dtype
+    start = 0
+    for m in raw_maps:
+        flat = m.reshape(B, -1, m.shape[-1])  # (B, a, 4*REG_MAX + nc)
+        a = flat.shape[1]
+        onehot = ((top_idx[..., None] - start) ==
+                  jnp.arange(a, dtype=jnp.int32)[None, None, :])
+        sel_all = sel_all + jnp.einsum(
+            "bka,bad->bkd", onehot.astype(flat.dtype), flat)
+        start += a
+    top_classes = sel_all[..., 4 * REG_MAX:].argmax(axis=-1).astype(jnp.int32)
+
+    # anchor points/strides of the survivors: a (A, 3) table is tiny, the
+    # (B, k, 3) gather from it is output-bound and cheap
+    anc = jnp.concatenate([points, strides], axis=-1)   # (A, 3) f32
+    ps = anc[top_idx]
+    pts, std = ps[..., :2], ps[..., 2:]
+
+    dist = dfl_decode(sel_all[..., : 4 * REG_MAX]
+                      .reshape(B, k, 4, REG_MAX))   # (B, k, 4)
     x1y1 = (pts - dist[..., :2]) * std
     x2y2 = (pts + dist[..., 2:]) * std
     top_boxes = jnp.concatenate([x1y1, x2y2], axis=-1)
