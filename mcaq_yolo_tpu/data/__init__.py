@@ -4,10 +4,12 @@ reference uses, reference train.py:302-371)."""
 
 from .dataset import (  # noqa: F401
     YOLODataset,
+    ImageFolderDataset,
     DataLoader,
     letterbox,
     load_dataset_yaml,
     compute_dataset_complexity,
     create_complexity_balanced_sampler,
     make_synthetic_dataset,
+    score_image_folder,
 )

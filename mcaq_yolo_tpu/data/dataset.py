@@ -589,6 +589,43 @@ def compute_dataset_complexity(
     return scores
 
 
+class ImageFolderDataset(YOLODataset):
+    """Label-free directory of images (the reference's `ComplexityDataset`,
+    reference utils/dataset.py:24-55): the offline scoring workflow takes a
+    PLAIN image folder — no labels/ tree, no dataset.yaml.  YOLODataset
+    already treats a missing label file as zero boxes; this subclass
+    documents and pins that contract (augmentation off, single box slot so
+    collation stays tiny) for scoring-only use."""
+
+    def __init__(self, img_dir: str, img_size: int = 640,
+                 cache_images: bool = False):
+        super().__init__(img_dir, img_size=img_size, max_boxes=1,
+                         augment=False, cache_images=cache_images)
+
+
+def score_image_folder(
+    img_dir: str,
+    img_size: int = 640,
+    score_fn=None,
+    batch_size: int = 8,
+    cache_path: Optional[str] = None,
+    backend: str = "edge",
+) -> Dict[str, float]:
+    """Score a bare image folder (Eq.8 offline scoring entry point —
+    reference utils/dataset.py:24-55 + 276-401 without the label
+    requirement).  Returns {image_path: complexity score}.
+
+    score_fn(images (B,H,W,3)) -> (B,): e.g. a jitted analyzer Eq.8 score;
+    None = the model-free edge-density proxy (the reference's no-model
+    fallback, reference utils/dataset.py:300-401)."""
+    ds = ImageFolderDataset(img_dir, img_size)
+    scores = compute_dataset_complexity(
+        ds, score_fn, batch_size=batch_size, cache_path=cache_path,
+        backend=backend, img_size=img_size,
+    )
+    return {f: float(s) for f, s in zip(ds.img_files, scores)}
+
+
 def create_complexity_balanced_sampler(
     scores: np.ndarray, n_bins: int = 10, seed: int = 0
 ) -> np.ndarray:

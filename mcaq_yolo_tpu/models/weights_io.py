@@ -120,10 +120,37 @@ def _convert_detect(sd, prefix, params, stats):
     # in this implementation (dfl_decode), nothing to convert.
 
 
-def convert_torch_yolov8(state_dict) -> Tuple[Dict, Dict]:
+class _TrackedSD(dict):
+    """state_dict wrapper that records every key the converter reads, so
+    coverage of the SOURCE checkpoint can be asserted (VERDICT r3 item 5:
+    fail loudly on unconsumed keys instead of overlay-skipping)."""
+
+    def __init__(self, data):
+        super().__init__(data)
+        self.consumed = set()
+
+    def __getitem__(self, key):
+        self.consumed.add(key)
+        return super().__getitem__(key)
+
+
+def _ignorable_source_key(key: str) -> bool:
+    """Real Ultralytics state_dicts carry keys that are correct to skip:
+    BN bookkeeping counters and the Detect head's FIXED arange(REG_MAX)
+    DFL expectation kernel (parameter-free `dfl_decode` here)."""
+    return (key.endswith("num_batches_tracked")
+            or key == f"{HEAD_IDX}.dfl.conv.weight")
+
+
+def convert_torch_yolov8(state_dict, strict: bool = True) -> Tuple[Dict, Dict]:
     """Ultralytics DetectionModel state_dict -> (params, batch_stats) trees
     matching mcaq_yolo_tpu.models.YOLOv8 (and the backbone/neck/head subtrees
-    of MCAQYOLO)."""
+    of MCAQYOLO).
+
+    strict=True (default): raise if ANY source key was not consumed by the
+    conversion (beyond the documented ignorables) — a silently-dropped key
+    means the checkpoint's topology and this converter's map disagree, and
+    the loaded model would diverge from the trained one with no error."""
     if isinstance(state_dict, (str, bytes)):
         import torch
 
@@ -141,8 +168,10 @@ def convert_torch_yolov8(state_dict) -> Tuple[Dict, Dict]:
             )
         state_dict = obj
 
-    sd = {k.removeprefix("model.model.").removeprefix("model."): v
-          for k, v in state_dict.items()}
+    sd = _TrackedSD({
+        k.removeprefix("model.model.").removeprefix("model."): v
+        for k, v in state_dict.items()
+    })
     # now keys look like "0.conv.weight", "22.cv2.0.0.conv.weight", ...
 
     params: Dict = {"backbone": {}, "neck": {}, "head": {}}
@@ -165,15 +194,28 @@ def convert_torch_yolov8(state_dict) -> Tuple[Dict, Dict]:
             _convert_c2f(sd, prefix, params, stats, ("neck", name))
 
     _convert_detect(sd, str(HEAD_IDX), params, stats)
+
+    unconsumed = sorted(
+        k for k in sd if k not in sd.consumed and not _ignorable_source_key(k)
+    )
+    if unconsumed and strict:
+        raise ValueError(
+            f"{len(unconsumed)} source checkpoint key(s) were NOT consumed "
+            f"by the conversion (topology mismatch?): {unconsumed[:10]}"
+            + (" ..." if len(unconsumed) > 10 else "")
+        )
     return params, stats
 
 
-def load_pretrained_into(variables: Dict, state_dict) -> Dict:
+def load_pretrained_into(variables: Dict, state_dict,
+                         strict: bool = True) -> Dict:
     """Overlay converted torch weights onto an initialized flax variables
-    tree (YOLOv8 or MCAQYOLO — shapes are validated leaf-by-leaf)."""
+    tree (YOLOv8 or MCAQYOLO — shapes are validated leaf-by-leaf; with
+    strict=True, full source-key coverage is also enforced, see
+    convert_torch_yolov8)."""
     import jax.numpy as jnp
 
-    params, stats = convert_torch_yolov8(state_dict)
+    params, stats = convert_torch_yolov8(state_dict, strict=strict)
 
     def overlay(dst, src, path=""):
         out = dict(dst)
