@@ -650,6 +650,104 @@ def create_complexity_balanced_sampler(
 # ---------------------------------------------------------------------------
 
 
+def make_natural_statistics_images(
+    root: str, n_images: int = 16, img_size: int = 256, seed: int = 0,
+) -> str:
+    """Procedurally generated images with NATURAL-image statistics (1/f
+    power spectra, multi-octave fractal textures, mixed smooth scenes) —
+    a far harder backend-agreement corpus than rectangles-on-noise
+    (VERDICT r3 item 6: the reference measured its surrogate-vs-cv2
+    r~0.88 on natural photos, reference README.md:324-327; this corpus is
+    the closest no-egress stand-in).  Writes PNGs, returns the directory.
+
+    Three families, cycled:
+      0. pink noise: random-phase spectrum with amplitude ~ 1/f^beta,
+         beta in [0.9, 1.4] (the canonical natural-image spectral law)
+      1. fractal value-noise: octaves of bilinearly-upsampled random
+         grids, weight 0.55^o — Perlin-like multi-scale texture
+      2. mixed scene: pink-noise background + smooth gaussian "objects" +
+         a fine-texture patch, i.e. the spatial heterogeneity MCAQ's tile
+         metrics are supposed to resolve
+    """
+    rng = np.random.default_rng(seed)
+    out = Path(root)
+    out.mkdir(parents=True, exist_ok=True)
+    from PIL import Image
+
+    S = img_size
+
+    def _norm01(a):
+        lo, hi = a.min(), a.max()
+        return (a - lo) / (hi - lo + 1e-9)
+
+    def pink(beta):
+        fy = np.fft.fftfreq(S)[:, None]
+        fx = np.fft.rfftfreq(S)[None, :]
+        f = np.sqrt(fy * fy + fx * fx)
+        f[0, 0] = 1.0
+        amp = f ** (-beta)
+        phase = rng.uniform(0, 2 * np.pi, amp.shape)
+        spec = amp * np.exp(1j * phase)
+        return _norm01(np.fft.irfft2(spec, s=(S, S)))
+
+    def fractal(octaves=6):
+        img = np.zeros((S, S))
+        for o in range(octaves):
+            g = 1 << (o + 2)
+            if g > S:
+                break
+            coarse = rng.random((g, g))
+            # bilinear upsample to SxS
+            yi = np.linspace(0, g - 1, S)
+            xi = np.linspace(0, g - 1, S)
+            y0 = np.clip(yi.astype(int), 0, g - 2)
+            x0 = np.clip(xi.astype(int), 0, g - 2)
+            wy = (yi - y0)[:, None]
+            wx = (xi - x0)[None, :]
+            c00 = coarse[np.ix_(y0, x0)]
+            c01 = coarse[np.ix_(y0, x0 + 1)]
+            c10 = coarse[np.ix_(y0 + 1, x0)]
+            c11 = coarse[np.ix_(y0 + 1, x0 + 1)]
+            up = (c00 * (1 - wy) * (1 - wx) + c01 * (1 - wy) * wx
+                  + c10 * wy * (1 - wx) + c11 * wy * wx)
+            img += (0.55 ** o) * up
+        return _norm01(img)
+
+    def mixed():
+        base = 0.6 * pink(rng.uniform(1.0, 1.3))
+        yy, xx = np.mgrid[0:S, 0:S] / S
+        # 2-4 smooth gaussian objects
+        for _ in range(rng.integers(2, 5)):
+            cy, cx = rng.uniform(0.15, 0.85, 2)
+            sig = rng.uniform(0.05, 0.18)
+            base += rng.uniform(0.3, 0.7) * np.exp(
+                -((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sig * sig))
+        # one fine-texture patch
+        py, px = rng.integers(0, S // 2, 2)
+        ph, pw = rng.integers(S // 5, S // 2, 2)
+        tex = fractal(octaves=7)
+        base[py:py + ph, px:px + pw] += 0.5 * tex[py:py + ph, px:px + pw]
+        return _norm01(base)
+
+    for i in range(n_images):
+        fam = i % 3
+        if fam == 0:
+            g = pink(rng.uniform(0.9, 1.4))
+        elif fam == 1:
+            g = fractal()
+        else:
+            g = mixed()
+        # colorize: per-channel affine of the luminance + slight chroma
+        # noise keeps channel-mean statistics natural
+        rgbw = rng.uniform(0.7, 1.0, 3)
+        rgbb = rng.uniform(0.0, 0.25, 3)
+        img = np.stack([g * w + b for w, b in zip(rgbw, rgbb)], -1)
+        img = np.clip(img + rng.normal(0, 0.01, img.shape), 0, 1)
+        Image.fromarray((img * 255).astype(np.uint8)).save(
+            out / f"nat_{i:03d}.png")
+    return str(out)
+
+
 def make_synthetic_dataset(
     root: str, n_images: int = 16, img_size: int = 160, n_classes: int = 8,
     split: str = "train", seed: int = 0,

@@ -162,7 +162,7 @@ def main(argv=None):
     print(s)
     if args.out:
         Path(args.out).parent.mkdir(parents=True, exist_ok=True)
-        Path(args.out).write_text(s)
+        Path(args.out).write_text(s + "\n")
 
 
 if __name__ == "__main__":

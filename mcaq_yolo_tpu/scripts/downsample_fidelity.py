@@ -171,7 +171,7 @@ def main(argv=None):
     print(s)
     if args.out:
         with open(args.out, "w") as f:
-            f.write(s)
+            f.write(s + "\n")
 
 
 if __name__ == "__main__":

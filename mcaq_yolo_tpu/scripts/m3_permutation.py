@@ -141,7 +141,7 @@ def main(argv=None):
     out = json.dumps(summary, indent=2)
     print(out)
     if args.json:
-        Path(args.json).write_text(out)
+        Path(args.json).write_text(out + "\n")
 
 
 if __name__ == "__main__":

@@ -107,7 +107,7 @@ def main(argv=None):
     table = run([int(b) for b in a.batches.split(",")], a.variant, a.img,
                 a.iters, a.dtype, a.downsample)
     Path(a.out).parent.mkdir(parents=True, exist_ok=True)
-    Path(a.out).write_text(json.dumps(table, indent=2))
+    Path(a.out).write_text(json.dumps(table, indent=2) + "\n")
     print(json.dumps(table["attribution"], indent=2))
 
 

@@ -31,7 +31,6 @@ def run(variant="yolov8n", batch=256, img=640, iters=20,
         peak_tflops=125.0, peak_gbps=411.0):
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from ..models import MCAQYOLO
     from ..models.yolo import decode_and_nms
@@ -39,18 +38,20 @@ def run(variant="yolov8n", batch=256, img=640, iters=20,
 
     model = MCAQYOLO(variant=variant, num_classes=80, bit_mapping="mlp",
                      dtype=jnp.bfloat16)
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.random((batch, img, img, 3), np.float32))
-    variables = jax.device_put(
-        model.init(jax.random.PRNGKey(0), images[:1], training=False))
+    # on-device inputs + jitted init: host RNG for a bs=256 640px batch and
+    # flax's eager op-by-op init dominate wall time over the tunnel (the
+    # round-3 bench-timeout root cause, evidence/r4/bench_stage_timing.md)
+    images = jax.random.uniform(jax.random.PRNGKey(1),
+                                (batch, img, img, 3), jnp.float32)
+    variables = jax.jit(
+        lambda k, x: model.init(k, x, training=False)
+    )(jax.random.PRNGKey(0), images[:1])
 
     bd = component_breakdown(model, variables, images, iters=iters,
                              cost=True)
 
     # decode+NMS stage: deployed-path delta (full e2e minus full forward)
-    @jax.jit
-    def full(v, x):
-        return model.apply(v, x, temperature=1.0, training=False)
+    from ..inference import auto_pre_topk
 
     @jax.jit
     def e2e(v, x):
@@ -58,12 +59,13 @@ def run(variant="yolov8n", batch=256, img=640, iters=20,
                                training=False)
         # the DEPLOYED configuration — same as bench.py's e2e arm and
         # Predictor's serving defaults (conf 0.25 / iou 0.45 / max_det 300,
-        # pool auto-sized to 512 >= max_det): the roofline judges the path
-        # users actually run, not the eval-protocol pool (pre_topk=1024,
-        # conf 0.001), whose greedy-NMS cost scales with the pool.
+        # pool = the equivalence-certified auto_pre_topk minimum): the
+        # roofline judges the path users actually run, not the
+        # eval-protocol pool (pre_topk=1024, conf 0.001), whose greedy-NMS
+        # cost scales with the pool.
         return decode_and_nms(raw, 80, conf_threshold=0.25,
                               iou_threshold=0.45, max_det=300,
-                              pre_topk=512) + (aux["avg_bits"],)
+                              pre_topk=auto_pre_topk(300)) + (aux["avg_bits"],)
 
     t_e2e = timed(e2e, variables, images, iters=iters) * 1e3
     bd["decode_nms_ms"] = t_e2e - bd["full_ms"]
@@ -133,7 +135,7 @@ def main(argv=None):
     print(s)
     if args.out:
         with open(args.out, "w") as f:
-            f.write(s)
+            f.write(s + "\n")
 
 
 if __name__ == "__main__":
