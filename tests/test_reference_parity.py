@@ -93,7 +93,11 @@ def test_curriculum_schedule_parity(ref, ctype):
         curriculum_type=ctype, lambda_smooth=0.1,
     )
     theirs = ref.c.CurriculumScheduler(**kw)
-    ours = CurriculumScheduler(**kw)
+    # lambda_bit_gate=False = the documented reference-parity mode: the
+    # default gate deliberately zeroes lambda1 during the alpha_t-saturation
+    # window (the reference's own schedule collapses the Eq.13-18 mapper
+    # there — PARITY.md "MLP-mapper degeneracy" / r4 lambda1 gate)
+    ours = CurriculumScheduler(**kw, lambda_bit_gate=False)
 
     for epoch in range(0, 301):
         assert ours.get_stage(epoch) == theirs.get_stage(epoch), epoch

@@ -34,6 +34,23 @@ def test_training_runs_all_stages(trained):
     assert temps[0] > temps[-1]
 
 
+def test_curriculum_wiring_from_config(trained):
+    """quantization.target_bits and the lambda1 saturation gate must reach
+    the scheduler (the target was silently pinned to 4.0 before r4; the
+    gate must be on by default and respect curriculum.lambda_bit_gate)."""
+    trainer, _, config = trained
+    cur = trainer.curriculum
+    assert cur.target_bits == config["quantization"]["target_bits"]
+    assert cur.min_bits == config["quantization"]["min_bits"]
+    assert cur.max_bits == config["quantization"]["max_bits"]
+    assert cur.lambda_bit_gate is True  # default ON
+    # opt-out restores the reference-exact anneal
+    from mcaq_yolo_tpu.core.curriculum import CurriculumScheduler
+
+    ref = CurriculumScheduler(lambda_bit_gate=False)
+    assert ref.get_loss_weights(0)["bit_budget"] > 0.0
+
+
 def test_checkpoints_written(trained):
     trainer, _, config = trained
     out = Path(config["output_dir"])
