@@ -118,11 +118,12 @@ class CurriculumScheduler:
         update_interval = 10
         return epoch > self.warmup_epochs and epoch % update_interval == 0
 
-    # -- lambda1 saturation gate ------------------------------------------
+    # -- lambda1/lambda2 saturation gate ------------------------------------
     def get_bit_budget_gate(self, epoch: int) -> float:
-        """Gate factor in [0, 1] on lambda1 during the alpha_t-saturation
-        window — the fix for the MLP-mapper collapse (PARITY.md
-        "MLP-mapper degeneracy"; VERDICT r3 item 2).
+        """Gate factor in [0, 1] on the AUXILIARY bit-map pressures
+        (lambda1 bit-budget AND lambda2 smoothness) during the
+        alpha_t-saturation window — the fix for the MLP-mapper collapse
+        (PARITY.md "MLP-mapper degeneracy"; VERDICT r3 item 2).
 
         While alpha_t still clamps the whole map at max_bits, avg_bits is
         max_bits REGARDLESS of the mapper's parameters, so Lbit's STE
@@ -130,6 +131,14 @@ class CurriculumScheduler:
         cannot counter (everything is still 8-bit, quantization is
         harmless) — that window is what drives the Eq.13-18 mapper into
         its two absorbing states (projection zero-trap / dead-ReLU trap).
+        Lsmooth has the SAME structure one module upstream: through the
+        transition band (map partially unsaturated but bits still high)
+        its TV gradient flattens the bit map — and, through the mapper,
+        the complexity MLP itself — while quantization is still harmless,
+        so detection offers no counterweight (measured: a 640px run with
+        only lambda1 gated deployed a complexity map with spatial std
+        0.0 — the collapse simply moved upstream).  Both weights
+        therefore ramp in together once the allocation is live.
         The map first LEAVES saturation when alpha_t * b(C) < max_bits for
         mid-range tiles, i.e. below alpha_sat = max_bits / b_mid with
         b_mid = (min_bits + max_bits) / 2 (1.6 for the default [2, 8]
@@ -154,22 +163,23 @@ class CurriculumScheduler:
 
     # -- loss weights (paper Eq.20 + Table X) ------------------------------
     def get_loss_weights(self, epoch: int) -> Dict[str, float]:
-        """lambda1 annealed 0.01 -> 0.1, gated by the alpha_t-saturation
-        window (see get_bit_budget_gate; disable with lambda_bit_gate=False
-        for the reference-exact schedule); lambda2 ramped 0 -> lambda_smooth
-        across the transition stage (nothing to smooth during the
-        high-precision warm-up); lambda3 = 0.5; lambda4 = 1e-4."""
+        """lambda1 annealed 0.01 -> 0.1 and lambda2 ramped 0 ->
+        lambda_smooth across the transition stage (nothing to smooth
+        during the high-precision warm-up), BOTH gated by the
+        alpha_t-saturation window (see get_bit_budget_gate; disable with
+        lambda_bit_gate=False for the reference-exact schedule);
+        lambda3 = 0.5; lambda4 = 1e-4."""
         progress = min(epoch / max(1, self.total_epochs), 1.0)
         lambda1 = 0.01 + (0.1 - 0.01) * progress
-        lambda1 *= self.get_bit_budget_gate(epoch)
+        gate = self.get_bit_budget_gate(epoch)
 
         span = max(1, self.transition_epochs - self.warmup_epochs)
         ramp = min(1.0, max(0.0, (epoch - self.warmup_epochs) / span))
 
         return {
             "detection": 1.0,
-            "bit_budget": lambda1,
-            "smoothness": self.lambda_smooth * ramp,
+            "bit_budget": lambda1 * gate,
+            "smoothness": self.lambda_smooth * ramp * gate,
             "distillation": 0.5,
             "regularization": 1e-4,
         }

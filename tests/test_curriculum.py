@@ -71,11 +71,16 @@ def test_bit_budget_saturation_gate():
     gates = [s.get_bit_budget_gate(e) for e in range(0, 301, 10)]
     assert all(b >= a for a, b in zip(gates, gates[1:]))
 
-    # the gate multiplies lambda1 in the loss weights
+    # the gate multiplies BOTH aux map pressures: lambda1 (bit budget) and
+    # lambda2 (smoothness) — ungated lambda2 flattens the complexity MLP
+    # through the transition band (the r4 seed-0 640px run: complexity-map
+    # spatial std 0.0 with only lambda1 gated)
     w = s.get_loss_weights(100)
     assert w["bit_budget"] == 0.0
+    assert w["smoothness"] == 0.0  # epoch 100 > transition: ramp=1, gate=0
     w = s.get_loss_weights(280)
     assert w["bit_budget"] == pytest.approx(0.01 + 0.09 * (280 / 300))
+    assert w["smoothness"] == pytest.approx(s.lambda_smooth)
 
     # disabled -> reference-exact anneal everywhere
     s_ref = CurriculumScheduler(total_epochs=300, lambda_bit_gate=False)
