@@ -186,11 +186,19 @@ class ComplexityToBitMappingNetwork(nn.Module):
     max_bits: int = 8
     hidden_dims: tuple = (32, 64, 32)
     enforce_monotonicity: bool = True
-    # 'abs' = reference parity: |xavier| init + post-step |W| projection
-    # (enforce_monotonic_params).  'softplus' = kernels are softplus(theta),
-    # positive by construction (see MonotoneDense for the measured
-    # zero-trap rationale); BatchNorm scales still use the |.| projection.
-    monotone_param: str = "abs"
+    # 'softplus' (DEFAULT since r4) = kernels are softplus(theta), positive
+    # by construction (see MonotoneDense); BatchNorm scales still use the
+    # |.| projection.  'abs' = the reference's exact Eq.18 semantics
+    # (|xavier| init + post-step |W| projection via
+    # enforce_monotonic_params), kept as the documented parity mode: it is
+    # a measured zero-trap — every committed 640px training run with 'abs'
+    # (r3 ungated, r4 lambda1-gated, r4 lambda1+lambda2-gated) deployed a
+    # spatially constant b(C) (continuous std 0.0) even though the
+    # complexity input varied (std 0.27), so the paper's spatial-allocation
+    # mechanism only survives training under the softplus parameterization
+    # (evidence/r4/quality_seed0_abs_gated.json, PARITY.md 'MLP-mapper
+    # degeneracy').
+    monotone_param: str = "softplus"
 
     @nn.compact
     def __call__(

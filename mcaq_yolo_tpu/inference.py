@@ -103,6 +103,9 @@ class Predictor:
         min_bits = auto(min_bits, qcfg.get("min_bits"), 2, int)
         max_bits = auto(max_bits, qcfg.get("max_bits"), 8, int)
         target_bits = float(qcfg.get("target_bits", 4.0))
+        # meta-less checkpoints predate the r4 softplus default and were
+        # trained with the |W|-projected mapper, so the LOAD-time fallback
+        # stays 'abs' (new checkpoints always carry the key in meta).
         monotone_param = auto(
             monotone_param, qcfg.get("monotone_param"), "abs", str)
         normalize_complexity = auto(

@@ -55,7 +55,7 @@ class MCAQYOLO(nn.Module):
     target_bits: float = 4.0
     grid_size: int = 8
     bit_mapping: str = "mlp"  # 'mlp' (Eq.13-17) | 'linear' (paper ablation)
-    monotone_param: str = "abs"  # 'abs' (reference Eq.18) | 'softplus'
+    monotone_param: str = "softplus"  # 'softplus' (default, r4) | 'abs' (reference Eq.18 parity mode)
     normalize_complexity: bool = False
     calibration_mode: str = "minmax"
     smooth_transitions: bool = True

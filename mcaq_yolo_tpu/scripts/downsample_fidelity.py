@@ -77,7 +77,7 @@ def evaluate_setting(model, variables, val_loader, num_classes):
 
 
 def run(ckpt, data_yaml, img_size=640, variant="yolov8n", num_classes=8,
-        batch_size=16, grid_size=8, bit_mapping="mlp", monotone_param="abs",
+        batch_size=16, grid_size=8, bit_mapping="mlp", monotone_param="softplus",
         target_bits=4.0, min_bits=2, max_bits=8, normalize_complexity=True,
         downsample=2):
     import jax
@@ -153,7 +153,7 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--grid-size", type=int, default=8)
     p.add_argument("--bit-mapping", default="mlp")
-    p.add_argument("--monotone-param", default="abs")
+    p.add_argument("--monotone-param", default="softplus")
     p.add_argument("--target-bits", type=float, default=4.0)
     p.add_argument("--min-bits", type=int, default=2)
     p.add_argument("--max-bits", type=int, default=8)

@@ -48,6 +48,8 @@ def run(ckpt, data_yaml, img_size=None, batch_size=16, pools=(512, 1024),
         variant=meta.get("variant", "yolov8n"), num_classes=num_classes,
         grid_size=int(qcfg.get("grid_size", 8)),
         bit_mapping=qcfg.get("bit_mapping", "mlp"),
+        # load-time fallback stays 'abs': meta-less checkpoints predate
+        # the r4 softplus default (see inference.py).
         monotone_param=qcfg.get("monotone_param", "abs"),
         target_bits=float(qcfg.get("target_bits", 4.0)),
         min_bits=int(qcfg.get("min_bits", 2)),

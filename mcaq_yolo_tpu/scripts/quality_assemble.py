@@ -35,7 +35,7 @@ def assemble(main_paths, kd_paths=()):
             "seeds": [m["config"]["seed"] for m in mains],
             "per_seed_config": mains[0]["config"],
             "note": ("fresh synthetic-v2 dataset draw per seed; DEFAULT "
-                     "mapper config (monotone_param=abs + lambda1 "
+                     "mapper config (monotone_param=softplus + lambda1/2 "
                      "saturation gate)"),
         },
     }

@@ -117,7 +117,7 @@ def run(img_size=640, epochs=60, n_images=192, batch_size=16,
         variant="yolov8n", root="outputs/quality_evidence_v2", seed=0,
         kd_epochs=0, fp_epochs=None, n_val=None, lr=2e-3,
         target_bits=4.0, arms="abc", fp_ckpt=None, lambda_smooth=0.1,
-        monotone_param="abs", min_bits=2, max_bits=8):
+        monotone_param="softplus", min_bits=2, max_bits=8):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -381,7 +381,7 @@ def main(argv=None):
                    help="existing arm-A checkpoint to reuse when 'a' is "
                         "not in --arms")
     p.add_argument("--lambda-smooth", type=float, default=0.1)
-    p.add_argument("--monotone-param", default="abs",
+    p.add_argument("--monotone-param", default="softplus",
                    choices=["abs", "softplus"])
     p.add_argument("--min-bits", type=int, default=2)
     p.add_argument("--max-bits", type=int, default=8,

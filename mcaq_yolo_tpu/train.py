@@ -308,7 +308,7 @@ class Trainer:
             target_bits=float(qcfg.get("target_bits", 4.0)),
             grid_size=int(qcfg.get("grid_size", 8)),
             bit_mapping=str(qcfg.get("bit_mapping", "mlp")),
-            monotone_param=str(qcfg.get("monotone_param", "abs")),
+            monotone_param=str(qcfg.get("monotone_param", "softplus")),
             normalize_complexity=bool(qcfg.get("normalize_complexity", False)),
             morph_downsample=int(
                 config.get("morphology", {}).get("downsample", 1)),

@@ -15,7 +15,7 @@ from mcaq_yolo_tpu.core.bit_allocation import (
 
 
 def _mlp_and_vars(seed=0):
-    mapper = ComplexityToBitMappingNetwork(min_bits=2, max_bits=8)
+    mapper = ComplexityToBitMappingNetwork(min_bits=2, max_bits=8, monotone_param="abs")
     c = jnp.asarray(np.random.default_rng(seed).random((2, 8, 8), np.float32))
     variables = mapper.init(jax.random.PRNGKey(seed), c)
     return mapper, variables, c

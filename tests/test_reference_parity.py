@@ -322,7 +322,7 @@ def test_mlp_mapper_eval_parity(ref, rng, temperature):
         out_t = theirs(_t(c), temperature=temperature,
                        return_continuous=True).numpy()
 
-    ours = ComplexityToBitMappingNetwork(min_bits=2, max_bits=8)
+    ours = ComplexityToBitMappingNetwork(min_bits=2, max_bits=8, monotone_param="abs")
     variables = ours.init({"params": np.zeros(2, np.uint32)}, c)
     variables = _inject_mlp_weights(theirs, variables)
     out_j = np.asarray(ours.apply(
@@ -358,7 +358,7 @@ def test_mlp_mapper_trainmode_forward_parity(ref, rng):
     c = rng.random((2, 12, 12), dtype=np.float32)
     N = c.size
 
-    ours = ComplexityToBitMappingNetwork(min_bits=2, max_bits=8)
+    ours = ComplexityToBitMappingNetwork(min_bits=2, max_bits=8, monotone_param="abs")
     variables = ours.init({"params": np.zeros(2, np.uint32)}, c)
     variables = _inject_mlp_weights(theirs, variables)
 
@@ -396,7 +396,7 @@ def test_mlp_mapper_weight_projection_parity(ref, rng):
     theirs.eval()
 
     c = rng.random((1, 8, 8), dtype=np.float32)
-    ours = ComplexityToBitMappingNetwork(min_bits=2, max_bits=8)
+    ours = ComplexityToBitMappingNetwork(min_bits=2, max_bits=8, monotone_param="abs")
     variables = ours.init({"params": np.zeros(2, np.uint32)}, c)
     variables = _inject_mlp_weights(theirs, variables)  # pre-projection copies
 
@@ -653,7 +653,7 @@ def test_loss_reg_and_total_assembly_parity(ref_loss_mod, ref, rng):
     their_mapper = ref.b.ComplexityToBitMappingNetwork(min_bits=2, max_bits=8)
 
     c = rng.random((2, 8, 8), dtype=np.float32)
-    ours = ComplexityToBitMappingNetwork(min_bits=2, max_bits=8)
+    ours = ComplexityToBitMappingNetwork(min_bits=2, max_bits=8, monotone_param="abs")
     variables = ours.init({"params": np.zeros(2, np.uint32)}, c)
     variables = _inject_mlp_weights(their_mapper, variables)
 
@@ -732,7 +732,7 @@ def test_loss_gradient_through_mapper_parity(ref_loss_mod, ref, rng):
                if isinstance(m, torch.nn.Linear)]
     grad_t = linears[0].weight.grad.detach().numpy()
 
-    ours = ComplexityToBitMappingNetwork(min_bits=2, max_bits=8)
+    ours = ComplexityToBitMappingNetwork(min_bits=2, max_bits=8, monotone_param="abs")
     variables = ours.init({"params": np.zeros(2, np.uint32)}, c)
     their_mapper.zero_grad()
     # re-inject PRE-forward weights: the torch forward above updated BN
