@@ -191,3 +191,22 @@ def test_get_bit_statistics():
     hist = np.asarray(stats["histogram"])
     assert hist.sum() == 4
     assert hist[0] == 1 and hist[3] == 2 and hist[6] == 1
+
+
+def test_softplus_is_the_default_everywhere():
+    """r4 default flip (VERDICT r3 item 2 contingency): the class default,
+    the model default, and the shipped config all resolve to 'softplus';
+    'abs' stays the documented reference-parity opt-in (the parity tests
+    pin it explicitly)."""
+    from pathlib import Path
+
+    import yaml
+
+    from mcaq_yolo_tpu.models import MCAQYOLO
+
+    assert ComplexityToBitMappingNetwork().monotone_param == "softplus"
+    assert MCAQYOLO().monotone_param == "softplus"
+    cfg = yaml.safe_load(
+        (Path(__file__).parent.parent / "configs" / "train_config.yaml")
+        .read_text())
+    assert cfg["quantization"]["monotone_param"] == "softplus"
