@@ -390,8 +390,20 @@ def main():
     # estimator (quality-certified: delta mAP@50-95 -0.0001 on a
     # spatially-varying 640px checkpoint, PARITY.md), pool=256 NMS
     hb = int(os.environ.get("BENCH_HEADLINE_BATCH", "256"))
-    headline = _infer_imgs_per_sec(variant, hb, img, max(4, iters // 4),
-                                   dtype, e2e=True, morph_ds=2)
+    try:
+        headline = _infer_imgs_per_sec(variant, hb, img, max(4, iters // 4),
+                                       dtype, e2e=True, morph_ds=2)
+    except BaseException as e:  # noqa: BLE001 — the contract is: a JSON
+        # line ALWAYS lands on stdout.  The watchdog covers hangs; this
+        # covers exceptions (tunnel refusal, OOM, missing backend) — the
+        # other half of the round-3 rc=124/no-output failure space.
+        print(json.dumps({
+            "metric": "images_per_sec", "value": 0.0, "unit": "img/s",
+            "vs_baseline": 0.0,
+            "error": f"headline arm raised {type(e).__name__}: {e}",
+        }))
+        sys.stdout.flush()
+        os._exit(2)
     e2e_sweep = {f"bs{hb}_ds2": round(headline, 1)}
     extra["e2e_decode_nms_sweep_imgs_per_sec"] = e2e_sweep
     emit(headline)

@@ -123,6 +123,7 @@ class Predictor:
         self.max_det = max_det
         self.pre_topk = (int(pre_topk) if pre_topk is not None
                          else auto_pre_topk(max_det, conf_threshold))
+        self.pool_saturations = 0  # headroom-contract violations seen
         self.class_names = class_names or meta.get("names") or {
             i: f"class{i}" for i in range(num_classes)
         }
@@ -217,16 +218,27 @@ class Predictor:
     def _check_pool_headroom(self, gated_count) -> None:
         """Runtime side of the auto_pre_topk headroom contract: the pool is
         sized to the MEASURED above-gate candidate count, so saturating it
-        means equivalence to a full-pool NMS is no longer certified."""
+        means equivalence to a full-pool NMS is no longer certified.
+
+        Every saturation is surfaced (simplefilter('always') — Python's
+        default 'default' filter would print only the first occurrence per
+        call site, hiding repeat violations across a long predict_batch
+        run) and counted in `self.pool_saturations` so callers can check
+        the contract programmatically after a batch run."""
         worst = int(np.max(gated_count))
         if worst >= self.pre_topk:
-            warnings.warn(
-                f"NMS candidate pool saturated: {worst} above-gate "
-                f"candidates hit pre_topk={self.pre_topk}; detections may "
-                "have been cut before suppression. Re-run with a larger "
-                "pre_topk (e.g. 1024) for this data distribution.",
-                RuntimeWarning, stacklevel=3,
-            )
+            self.pool_saturations += 1
+            with warnings.catch_warnings():
+                warnings.simplefilter("always", RuntimeWarning)
+                warnings.warn(
+                    f"NMS candidate pool saturated ({self.pool_saturations}"
+                    f" time(s) this Predictor): {worst} above-gate "
+                    f"candidates hit pre_topk={self.pre_topk}; detections "
+                    "may have been cut before suppression. Re-run with a "
+                    "larger pre_topk (e.g. 1024) for this data "
+                    "distribution.",
+                    RuntimeWarning, stacklevel=3,
+                )
 
     def preprocess(self, image: np.ndarray):
         """Letterbox, keeping uint8 — /255 runs on-device (model-side

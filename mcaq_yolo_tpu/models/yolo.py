@@ -301,7 +301,12 @@ def decode_and_nms(
     top_scores = jnp.where(top_scores >= conf_threshold, top_scores, 0.0)
 
     # per-scale one-hot row selection on the MXU (see docstring); f32
-    # accumulation of a single unit entry is exact in every input dtype
+    # accumulation of a single unit entry is exact in every input dtype.
+    # Precision HIGHEST: with the default precision XLA lowers f32 matmul
+    # OPERANDS through bf16 passes on the MXU, which would truncate the
+    # selected rows' mantissas — the gather must be bitwise, not just
+    # structurally, equivalent to take_along_axis (the deployed bf16 path
+    # is native single-pass either way, so this costs nothing there)
     sel_all = 0.0  # weakly typed: the sum keeps the raw maps' dtype
     start = 0
     for m in raw_maps:
@@ -310,7 +315,8 @@ def decode_and_nms(
         onehot = ((top_idx[..., None] - start) ==
                   jnp.arange(a, dtype=jnp.int32)[None, None, :])
         sel_all = sel_all + jnp.einsum(
-            "bka,bad->bkd", onehot.astype(flat.dtype), flat)
+            "bka,bad->bkd", onehot.astype(flat.dtype), flat,
+            precision=jax.lax.Precision.HIGHEST)
         start += a
     top_classes = sel_all[..., 4 * REG_MAX:].argmax(axis=-1).astype(jnp.int32)
 

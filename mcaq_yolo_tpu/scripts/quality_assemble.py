@@ -23,8 +23,11 @@ def _mean_std(xs):
     if not xs:
         return None
     m = sum(xs) / len(xs)
-    var = sum((x - m) ** 2 for x in xs) / len(xs)
-    return {"mean": round(m, 4), "std": round(math.sqrt(var), 4),
+    # sample std (ddof=1): the honest replication spread for small n;
+    # undefined (null) for a single seed rather than a misleading 0.0
+    std = (round(math.sqrt(sum((x - m) ** 2 for x in xs) / (len(xs) - 1)), 4)
+           if len(xs) > 1 else None)
+    return {"mean": round(m, 4), "std": std,
             "per_seed": [round(x, 4) for x in xs], "n": len(xs)}
 
 

@@ -349,16 +349,6 @@ def run(img_size=640, epochs=60, n_images=192, batch_size=16,
 def main(argv=None):
     import os
 
-    if os.environ.get("QUALITY_ALLOW_CPU", "0") != "1":
-        # The axon tunnel admits ONE process: when another holds the chip,
-        # backend init raises and jax silently lands on cpu — which would
-        # run the whole multi-hour campaign on the 1-core host and poison
-        # every wall-time/throughput figure.  Block until the TPU is
-        # actually acquired (or fail loudly).  QUALITY_ALLOW_CPU=1 opts
-        # into CPU runs (tests, tunnel-down forensics).
-        from ..utils.sync import require_tpu
-
-        require_tpu(retries=30, wait_s=10.0)
     p = argparse.ArgumentParser()
     p.add_argument("--img-size", type=int, default=640)
     p.add_argument("--epochs", type=int, default=60)
@@ -388,6 +378,17 @@ def main(argv=None):
                    help="cap the bit range (e.g. 3) to force the damaging "
                         "regime for discriminative KD-vs-no-KD runs")
     args = p.parse_args(argv)
+    if os.environ.get("QUALITY_ALLOW_CPU", "0") != "1":
+        # The axon tunnel admits ONE process: when another holds the chip,
+        # backend init raises and jax silently lands on cpu — which would
+        # run the whole multi-hour campaign on the 1-core host and poison
+        # every wall-time/throughput figure.  Block until the TPU is
+        # actually acquired (or fail loudly) — AFTER argparse, so --help
+        # and flag errors return instantly.  QUALITY_ALLOW_CPU=1 opts
+        # into CPU runs (tests, tunnel-down forensics).
+        from ..utils.sync import require_tpu
+
+        require_tpu(retries=30, wait_s=10.0)
     table = run(args.img_size, args.epochs, args.n_images,
                 batch_size=args.batch_size, variant=args.variant,
                 n_val=args.n_val,

@@ -796,14 +796,36 @@ class Trainer:
         blob = serialization.to_bytes(payload)
         path = self.output_dir / name
         path.write_bytes(blob)
+        cfg = {
+            k: v for k, v in self.config.items()
+            if isinstance(v, (int, float, str, bool, dict, list))
+        }
+        # Mirror the RESOLVED model-defining values into meta, not just the
+        # raw user config: a yaml that omits a key (e.g. monotone_param)
+        # relies on the Trainer-side default, and Predictor restores the
+        # model FROM META — if meta echoed only the raw config, a default
+        # flip between train and deploy time would silently rebuild the
+        # wrong parameter topology and tolerant_restore would keep
+        # freshly-initialized weights for the mismatched leaves.
+        m = self.model
+        cfg["quantization"] = dict(
+            cfg.get("quantization", {}),
+            min_bits=int(m.min_bits), max_bits=int(m.max_bits),
+            target_bits=float(m.target_bits), grid_size=int(m.grid_size),
+            bit_mapping=m.bit_mapping, monotone_param=m.monotone_param,
+            normalize_complexity=bool(m.normalize_complexity),
+        )
+        cfg["morphology"] = dict(
+            cfg.get("morphology", {}),
+            downsample=int(m.morph_downsample),
+            tile_engine=m.morph_tile_engine,
+        )
         meta = {
             "epoch": epoch,
             "variant": self.variant,
             "num_classes": self.num_classes,
             "img_size": self.img_size,
-            "config": {
-                k: v for k, v in self.config.items() if isinstance(v, (int, float, str, bool, dict, list))
-            },
+            "config": cfg,
         }
         (self.output_dir / (name + ".json")).write_text(
             json.dumps(meta, indent=2, default=str)

@@ -219,3 +219,14 @@ def test_pretopk_equivalence_run_e2e(trained):
     # the truncation must be invisible
     if res["gated_candidates_deployed"]["max"] <= 32:
         assert res["images_with_any_detection_diff_deployed"] == 0
+
+
+def test_quality_assemble_sample_std(tmp_path):
+    """_mean_std reports the SAMPLE std (ddof=1) and null for n=1 —
+    population std understates the replication spread the table claims."""
+    from mcaq_yolo_tpu.scripts.quality_assemble import _mean_std
+
+    r = _mean_std([0.10, 0.15, 0.20])
+    assert r["n"] == 3 and abs(r["std"] - 0.05) < 1e-9
+    assert _mean_std([0.5])["std"] is None
+    assert _mean_std([None, None]) is None

@@ -59,6 +59,16 @@ def test_checkpoints_written(trained):
     assert (out / "history.json").exists()
     meta = json.loads((out / "last.ckpt.json").read_text())
     assert meta["variant"] == "yolov8n"
+    # meta must carry RESOLVED model-defining values, not just the raw
+    # user config: this fixture's yaml omits monotone_param and
+    # morphology entirely — if meta echoed the raw config, a Predictor
+    # built after a default flip would silently rebuild the wrong mapper
+    # topology and keep freshly-initialized weights for it.
+    q = meta["config"]["quantization"]
+    assert q["monotone_param"] == trainer.model.monotone_param
+    assert q["bit_mapping"] == "linear"
+    assert meta["config"]["morphology"]["tile_engine"] == (
+        trainer.model.morph_tile_engine)
     # stage 3 was reached and mAP evaluated -> best.ckpt written
     assert (out / "best.ckpt").exists()
 
@@ -100,6 +110,28 @@ def test_missing_teacher_fails_fast(trained, tmp_path):
     bad["output_dir"] = str(tmp_path / "out")
     with pytest.raises(FileNotFoundError, match="teacher_path"):
         Trainer(bad)
+
+
+def test_pool_saturation_warns_every_time(trained):
+    """The headroom-contract warning must fire on EVERY saturation (and
+    count them) — Python's default warnings filter would print only the
+    first per call site, hiding repeat violations across a batch run."""
+    import warnings as w
+
+    trainer, _, config = trained
+    from mcaq_yolo_tpu.inference import Predictor
+
+    ckpt = str(Path(config["output_dir"]) / "last.ckpt")
+    p = Predictor(ckpt, num_classes=4, variant="yolov8n", img_size=IMG,
+                  warmup=False, bit_mapping="linear", pre_topk=8)
+    assert p.pool_saturations == 0
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("default")  # the filter the fix must override
+        p._check_pool_headroom(np.array([8]))
+        p._check_pool_headroom(np.array([9]))
+        p._check_pool_headroom(np.array([3]))  # below pool: no warning
+    assert p.pool_saturations == 2
+    assert len([r for r in rec if r.category is RuntimeWarning]) == 2
 
 
 def test_predict_batch_matches_single(trained):
