@@ -58,9 +58,16 @@ def _probe_backend():  # pragma: no cover - depends on host plugin state
 # that need a device (bench.py) must check this and exit fast.
 BACKEND_PROBE_TIMED_OUT = False
 
-_probe_t = _threading.Thread(target=_probe_backend, daemon=True)
-_probe_t.start()
-_probe_t.join(float(_os.environ.get("MCAQ_IMPORT_PROBE_TIMEOUT_S", "90")))
+# MCAQ_SKIP_IMPORT_PROBE=1 skips the probe entirely: host-only tools
+# (e.g. scripts/quality_assemble.py) must not open the single-admission
+# TPU tunnel while a training job holds it.
+if _os.environ.get("MCAQ_SKIP_IMPORT_PROBE", "0") != "1":
+    _probe_t = _threading.Thread(target=_probe_backend, daemon=True)
+    _probe_t.start()
+    _probe_t.join(
+        float(_os.environ.get("MCAQ_IMPORT_PROBE_TIMEOUT_S", "90")))
+else:  # pragma: no cover - env-dependent
+    _probe_t = _threading.Thread(target=lambda: None)
 if _probe_t.is_alive():  # pragma: no cover - requires a dead tunnel
     BACKEND_PROBE_TIMED_OUT = True
     _warnings.warn(

@@ -3,11 +3,14 @@ table (VERDICT r3 item 3: mean±std over >=3 seeds for FP / MCAQ / post-hoc
 / KD, with the MCAQ-beats-FP delta's std).
 
 Usage:
-    python -m mcaq_yolo_tpu.scripts.quality_assemble \
+    MCAQ_SKIP_IMPORT_PROBE=1 python -m mcaq_yolo_tpu.scripts.quality_assemble \
         --main evidence/r4/quality_seed0.json evidence/r4/quality_seed1.json ... \
         [--kd evidence/r4/kd_seed0.json ...] [--out QUALITY_r04.json]
 
-No jax imports — safe to run anywhere (does not touch the TPU tunnel).
+This module itself imports no jax, but `python -m` runs the package
+__init__, whose backend probe would open the single-admission TPU tunnel —
+set MCAQ_SKIP_IMPORT_PROBE=1 (or run the file directly by path) so this
+tool never competes with a training job for the tunnel.
 """
 
 from __future__ import annotations

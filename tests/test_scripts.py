@@ -230,3 +230,69 @@ def test_quality_assemble_sample_std(tmp_path):
     assert r["n"] == 3 and abs(r["std"] - 0.05) < 1e-9
     assert _mean_std([0.5])["std"] is None
     assert _mean_std([None, None]) is None
+
+
+def test_quality_assemble_full_table(tmp_path):
+    """assemble() aggregates per-seed main + KD files into the replicated
+    table: mean/std/per-seed for every arm, deltas, per-seed bit
+    histograms, and the KD block keyed off mcaq/kd arms."""
+    import json
+
+    from mcaq_yolo_tpu.scripts.quality_assemble import assemble
+
+    def main_file(seed, fp, mcaq, posthoc):
+        d = {
+            "config": {"seed": seed, "img_size": 640, "epochs": 50},
+            "fp_trained_arm": {"map50": 0.99, "map50_95": fp,
+                               "avg_bits": 32.0},
+            "mcaq_trained_arm": {"map50": 0.98, "map50_95": mcaq,
+                                 "avg_bits": 5.0, "compression": 6.0,
+                                 "rounded_map_spatial_std_mean": 0.8,
+                                 "rounded_map_spatial_std_max": 1.4,
+                                 "bit_histogram": {"5": 7000, "8": 200}},
+            "posthoc_quant_arm": {"map50": 0.99, "map50_95": posthoc,
+                                  "avg_bits": 8.0},
+            "delta_mcaq_vs_fp_map50_95": round(mcaq - fp, 4),
+        }
+        p = tmp_path / f"main{seed}.json"
+        p.write_text(json.dumps(d))
+        return str(p)
+
+    def kd_file(seed, no_kd, kd):
+        d = {
+            "config": {"seed": seed, "img_size": 256, "epochs": 12},
+            "mcaq_trained_arm": {"map50_95": no_kd, "avg_bits": 3.0},
+            "kd_arm": {"map50_95": kd, "avg_bits": 3.0},
+            "delta_kd_vs_mcaq_map50_95": round(kd - no_kd, 4),
+        }
+        p = tmp_path / f"kd{seed}.json"
+        p.write_text(json.dumps(d))
+        return str(p)
+
+    mains = [main_file(0, 0.85, 0.90, 0.85), main_file(1, 0.81, 0.93, 0.81)]
+    kds = [kd_file(0, 0.36, 0.51), kd_file(1, 0.34, 0.37)]
+    out = assemble(mains, kds)
+
+    assert out["protocol"]["seeds"] == [0, 1]
+    assert out["mcaq_trained_arm"]["map50_95"]["per_seed"] == [0.90, 0.93]
+    assert out["mcaq_trained_arm"]["map50_95"]["n"] == 2
+    assert out["fp_trained_arm"]["avg_bits"]["mean"] == 32.0
+    d = out["delta_mcaq_vs_fp_map50_95"]
+    assert d["per_seed"] == [0.05, 0.12] and abs(d["mean"] - 0.085) < 1e-9
+    assert out["mcaq_bit_histograms_per_seed"]["0"]["5"] == 7000
+    assert out["kd_protocol"]["seeds"] == [0, 1]
+    assert out["kd_delta_kd_minus_no_kd_map50_95"]["per_seed"] == [0.15, 0.03]
+    assert out["kd_bits"]["kd"]["mean"] == 3.0
+
+    # a seed file missing the FP arm (donor workflow) must not break the
+    # other arms' aggregation and must simply shrink the FP sample
+    partial = json.loads((tmp_path / "main0.json").read_text())
+    del partial["fp_trained_arm"]
+    del partial["delta_mcaq_vs_fp_map50_95"]
+    p = tmp_path / "main2.json"
+    partial["config"]["seed"] = 2
+    p.write_text(json.dumps(partial))
+    out2 = assemble([str(p), mains[1]])
+    assert out2["fp_trained_arm"]["map50_95"]["n"] == 1
+    assert out2["mcaq_trained_arm"]["map50_95"]["n"] == 2
+    assert out2["delta_mcaq_vs_fp_map50_95"]["n"] == 1
