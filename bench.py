@@ -384,6 +384,17 @@ def main():
         sys.stdout.flush()
         state["emitted"] = True
         state["result"] = result
+        # persist the builder-side copy on EVERY emit: the watchdog exits
+        # via os._exit, so an end-of-main write would be lost whenever a
+        # slow extra arm (cold yolov8m train compile) outlives the budget
+        try:
+            ev_dir = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "evidence")
+            os.makedirs(ev_dir, exist_ok=True)
+            with open(os.path.join(ev_dir, "bench_last.json"), "w") as f:
+                f.write(json.dumps(result, indent=2) + "\n")
+        except OSError:
+            pass
 
     # ---- HEADLINE FIRST (VERDICT r3 item 1) -----------------------------
     # the best-known deployable config: bs=256 e2e, half-res morphology
@@ -475,15 +486,6 @@ def main():
         emit(headline)
 
     emit(headline)
-    # leave a builder-side copy with a trailing newline (ADVICE r3)
-    try:
-        ev_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "evidence")
-        os.makedirs(ev_dir, exist_ok=True)
-        with open(os.path.join(ev_dir, "bench_last.json"), "w") as f:
-            f.write(json.dumps(state["result"], indent=2) + "\n")
-    except OSError:
-        pass
     return state["result"]
 
 
