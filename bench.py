@@ -371,8 +371,26 @@ def main():
     extra = {}
     skipped = []
 
-    def emit(headline):
-        result = {
+    def persist(result):
+        # builder-side evidence copy, written ATOMICALLY (tmp + os.replace)
+        # so the watchdog's os._exit can never leave a truncated file —
+        # the reader always sees either the previous or the new complete
+        # record (ADVICE r4 item 1)
+        try:
+            ev_dir = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "evidence")
+            os.makedirs(ev_dir, exist_ok=True)
+            tmp = os.path.join(ev_dir, ".bench_last.json.tmp")
+            with open(tmp, "w") as f:
+                f.write(json.dumps(result, indent=2) + "\n")
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(ev_dir, "bench_last.json"))
+        except OSError:
+            pass
+
+    def snapshot(headline):
+        return {
             "metric": f"{variant}_mcaq_e2e_infer_640_images_per_sec_per_chip",
             "value": round(headline, 2),
             "unit": "images/sec",
@@ -380,21 +398,17 @@ def main():
             "extra": dict(extra, skipped_arms=list(skipped),
                           wall_s=round(time.monotonic() - t_start, 1)),
         }
+
+    def emit(headline):
+        result = snapshot(headline)
         print(json.dumps(result))
         sys.stdout.flush()
         state["emitted"] = True
         state["result"] = result
-        # persist the builder-side copy on EVERY emit: the watchdog exits
-        # via os._exit, so an end-of-main write would be lost whenever a
-        # slow extra arm (cold yolov8m train compile) outlives the budget
-        try:
-            ev_dir = os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "evidence")
-            os.makedirs(ev_dir, exist_ok=True)
-            with open(os.path.join(ev_dir, "bench_last.json"), "w") as f:
-                f.write(json.dumps(result, indent=2) + "\n")
-        except OSError:
-            pass
+        # persist on EVERY emit: the watchdog exits via os._exit, so an
+        # end-of-main write would be lost whenever a slow extra arm (cold
+        # yolov8m train compile) outlives the budget
+        persist(result)
 
     # ---- HEADLINE FIRST (VERDICT r3 item 1) -----------------------------
     # the best-known deployable config: bs=256 e2e, half-res morphology
@@ -417,6 +431,11 @@ def main():
         os._exit(2)
     e2e_sweep = {f"bs{hb}_ds2": round(headline, 1)}
     extra["e2e_decode_nms_sweep_imgs_per_sec"] = e2e_sweep
+    # the headline is PINNED to this certified deployable config; other
+    # sweep configs are reported in the sweep dict but never promoted to
+    # the headline value (ADVICE r4 item 3: the metric name and the value
+    # must describe the same config)
+    extra["headline_config"] = f"bs{hb}_ds2"
     emit(headline)
     if quick:
         return state["result"]
@@ -427,7 +446,7 @@ def main():
         v = _infer_imgs_per_sec(variant, b, img, max(4, iters // 4), dtype,
                                 e2e=True, morph_ds=ds)
         e2e_sweep[f"bs{b}_ds{ds}"] = round(v, 1)
-        return max(headline, v)
+        return None  # sweep-only: headline stays pinned to headline_config
 
     def arm_fwd(b, ds):
         v = _infer_imgs_per_sec(variant, b, img, max(4, iters // 4), dtype,
@@ -476,11 +495,18 @@ def main():
         if remaining() < est + 20:
             skipped.append(name)
             continue
+        # mark the arm in-flight in the persisted snapshot BEFORE running
+        # it, so a watchdog-abandoned arm is distinguishable from a
+        # never-attempted one in the evidence (ADVICE r4 item 2)
+        extra["in_flight_arm"] = name
+        persist(snapshot(headline))
         try:
             new_headline = fn()
         except Exception as e:  # an arm must never kill the record
             extra.setdefault("arm_errors", {})[name] = repr(e)[:200]
+            extra.pop("in_flight_arm", None)
             continue
+        extra.pop("in_flight_arm", None)
         if new_headline is not None:
             headline = new_headline
         emit(headline)

@@ -5,6 +5,7 @@ the exact OpenCV reference backend lives in `morphology_cv2` (host-side)."""
 from .curriculum import CurriculumScheduler  # noqa: F401
 from .bit_allocation import (  # noqa: F401
     ComplexityToBitMappingNetwork,
+    ConstantBitMapper,
     LinearBitMapper,
     linear_bit_map,
 )

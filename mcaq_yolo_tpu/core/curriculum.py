@@ -33,10 +33,37 @@ class CurriculumScheduler:
         lambda_bit_gate: bool = True,   # gate lambda1 during the alpha_t-saturation window
         min_bits: float = 2.0,          # bit-mapper output range (for the gate threshold)
         max_bits: float = 8.0,
+        anneal_epochs: int | None = None,  # horizon for alpha_t + target-bits
+        budget_anneal: str = "exp",     # 'exp' (reference) | 'exp_exact'
     ):
         self.warmup_epochs = warmup_epochs
         self.transition_epochs = transition_epochs
         self.total_epochs = total_epochs
+        # -- anneal horizon (VERDICT r4 item 1: schedule compression) ------
+        # The reference anneals alpha_t and target-bits over the FULL run
+        # (total_epochs).  Combined with the saturation gate that is a
+        # structural conflict at short protocols: the gate keys off
+        # alpha_t, which crosses alpha_sat=1.6 only at t/T~0.54 and
+        # reaches the 1.1 floor at t/T~0.9 — so lambda1 is fully on for
+        # only the last ~10% of training, while the exp target-bits decay
+        # plateaus at target + (init-target)e^-3 (~4.2 for 8->4).  r4's
+        # measured 5.45-bit landing against a 4.0 target is mostly this.
+        # anneal_epochs decouples the anneal horizon from the run length:
+        # alpha_t and target-bits complete their schedules at
+        # anneal_epochs (e.g. total//2), after which the model trains AT
+        # deployment temperature with lambda1 at full gate strength for
+        # the remaining half.  None (default) = total_epochs =
+        # reference-exact.
+        self.anneal_epochs = anneal_epochs or total_epochs
+        # 'exp_exact' renormalizes the reference's exp decay so it hits
+        # target_bits EXACTLY at the end of the anneal window instead of
+        # plateauing e^-3 of the range above it:
+        #   b(p) = target + (init-target) * (e^{-3p} - e^{-3}) / (1 - e^{-3})
+        # 'exp' keeps the reference formula bit-for-bit.
+        if budget_anneal not in ("exp", "exp_exact"):
+            raise ValueError(f"budget_anneal must be 'exp' or 'exp_exact', "
+                             f"got {budget_anneal!r}")
+        self.budget_anneal = budget_anneal
         self.initial_complexity = initial_complexity
         self.initial_temperature = initial_temperature
         self.initial_bits = initial_bits
@@ -68,7 +95,7 @@ class CurriculumScheduler:
 
     # -- temperature alpha_t (Algorithm 3 line 10) ----------------------
     def get_temperature(self, epoch: int) -> float:
-        T = self.total_epochs
+        T = self.anneal_epochs
         if self.curriculum_type == "linear":
             p = min(epoch / T, 1.0)
             return self.initial_temperature * (1.0 - p) + 1.0 * p
@@ -93,9 +120,16 @@ class CurriculumScheduler:
         the target (reference curriculum.py:152-177)."""
         if epoch < self.warmup_epochs:
             return self.initial_bits
-        progress = (epoch - self.warmup_epochs) / (self.total_epochs - self.warmup_epochs)
+        progress = (epoch - self.warmup_epochs) / max(
+            1, self.anneal_epochs - self.warmup_epochs)
         progress = min(progress, 1.0)
         if self.curriculum_type == "exponential":
+            if self.budget_anneal == "exp_exact":
+                # same exp shape, renormalized to land ON target at p=1
+                k = math.exp(-3.0)
+                frac = (math.exp(-3.0 * progress) - k) / (1.0 - k)
+                return self.target_bits + (
+                    self.initial_bits - self.target_bits) * frac
             return self.target_bits + (self.initial_bits - self.target_bits) * math.exp(
                 -3.0 * progress
             )

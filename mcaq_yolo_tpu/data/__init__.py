@@ -11,5 +11,7 @@ from .dataset import (  # noqa: F401
     compute_dataset_complexity,
     create_complexity_balanced_sampler,
     make_synthetic_dataset,
+    make_synthetic_dataset_v2,
+    make_synthetic_dataset_v3,
     score_image_folder,
 )

@@ -975,3 +975,215 @@ def make_synthetic_dataset_v2(
         f"nc: 8\nnames:\n{names}\n"
     )
     return str(yaml_path)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic dataset v3 — v2 with HEADROOM (VERDICT r4 item 2)
+# ---------------------------------------------------------------------------
+
+# 16 classes = 4 shapes x 4 texture families.  Color is a NUISANCE variable
+# (drawn independently of class), so classification requires resolving the
+# texture at the object's scale — v2's fixed color-per-class shortcut (which
+# saturated the FP arm at mAP@0.5 ~ 0.998) is gone.
+_V3_TEXTURES = ("solid", "stripes", "checker", "dots")
+_V3_COLORS = np.array(
+    [
+        [220, 60, 60],   # red
+        [60, 200, 80],   # green
+        [70, 90, 230],   # blue
+        [230, 180, 50],  # yellow
+        [60, 200, 220],  # cyan
+        [230, 120, 200], # pink
+    ],
+    np.float32,
+)
+
+
+def _v3_texture(tex_kind: int, hh: int, ww: int, rng) -> np.ndarray:
+    """(hh, ww) in [0, 1] intensity modulation for texture family
+    `tex_kind` (class % 4).  Period scales with object size so the pattern
+    count per object stays roughly constant — small objects carry the same
+    number of (smaller) pattern cells, making fine-grained texture the
+    discriminative burden."""
+    if tex_kind == 0:  # solid
+        return np.ones((hh, ww), np.float32)
+    y, x = np.mgrid[0:hh, 0:ww].astype(np.float32)
+    period = max(2, min(hh, ww) // 7)
+    if tex_kind == 1:  # stripes (random orientation: H or V)
+        v = x if rng.random() < 0.5 else y
+        pat = ((v // period) % 2).astype(np.float32)
+    elif tex_kind == 2:  # checker
+        pat = (((x // period) + (y // period)) % 2).astype(np.float32)
+    else:  # dots
+        pat = (((x % (2 * period)) < period)
+               & ((y % (2 * period)) < period)).astype(np.float32)
+    return 0.35 + 0.65 * pat
+
+
+def _v3_background(img_size: int, rng) -> np.ndarray:
+    """(H, W, 3) cluttered background: directional gradient + two octaves of
+    smooth upsampled noise + sensor noise.  Mid-frequency structure denies
+    the detector the v2 shortcut of 'anything non-smooth is an object'."""
+    g0, g1 = rng.uniform(40, 110, 2)
+    ang = rng.uniform(0, 2 * np.pi)
+    y, x = np.mgrid[0:img_size, 0:img_size].astype(np.float32)
+    t = (np.cos(ang) * x + np.sin(ang) * y) / (np.sqrt(2) * img_size)
+    base = g0 + (g1 - g0) * (t - t.min()) / max(float(np.ptp(t)), 1e-6)
+    for cells, amp in ((5, 12.0), (17, 7.0)):
+        coarse = rng.normal(0, amp, (cells, cells)).astype(np.float32)
+        reps = -(-img_size // cells)  # ceil division
+        up = np.kron(coarse, np.ones((reps, reps), np.float32))
+        base = base + up[:img_size, :img_size]
+    img = np.repeat(base[..., None], 3, axis=2)
+    img += rng.normal(0, 2.5, img.shape)
+    return img
+
+
+def _v3_distractor_mask(kind: int, hh: int, ww: int) -> np.ndarray:
+    """Unlabeled negative shapes (none of the 4 class silhouettes): ring,
+    diamond, L-bracket.  Forces the classifier to reject shape-like blobs
+    instead of firing on any textured region."""
+    y, x = np.mgrid[0:hh, 0:ww].astype(np.float32)
+    cy, cx = (hh - 1) / 2.0, (ww - 1) / 2.0
+    if kind == 0:  # ring
+        r2 = ((y - cy) / (hh / 2.0)) ** 2 + ((x - cx) / (ww / 2.0)) ** 2
+        return (r2 <= 1.0) & (r2 >= 0.45)
+    if kind == 1:  # diamond
+        return (np.abs(y - cy) / (hh / 2.0)
+                + np.abs(x - cx) / (ww / 2.0)) <= 1.0
+    # L-bracket
+    return (x <= ww / 3.0) | (y >= 2.0 * hh / 3.0)
+
+
+def make_synthetic_dataset_v3(
+    root: str,
+    n_images: int = 256,
+    img_size: int = 640,
+    n_val: int = 64,
+    seed: int = 0,
+    objects_per_image: Tuple[int, int] = (5, 10),
+    distractor_shapes: Tuple[int, int] = (2, 4),
+    max_occlusion: float = 0.45,
+) -> str:
+    """Headroom successor to v2 (VERDICT r4 item 2: v2's FP arm saturated at
+    mAP@0.5 = 0.998, leaving mAP@50-95 on 48 images as the only
+    discriminating axis).  Difficulty levers, all absent from v2:
+
+      * 16 classes = 4 shapes x 4 textures with color drawn INDEPENDENTLY of
+        class — texture must be resolved at object scale to classify.
+      * 5-10 objects/image at log-uniform scales down to ~4% of the image
+        side (v2: 1-4 objects at 18-42%) — small-object AP dominates.
+      * real occlusion: boxes may overlap up to `max_occlusion` IoA; later
+        objects are composited over earlier ones, but every label keeps the
+        visible-at-draw-time silhouette bbox.
+      * cluttered multi-octave backgrounds + unlabeled distractor SHAPES
+        (ring/diamond/L, random color+texture) — negatives that look like
+        objects.
+      * per-object brightness jitter and contrast draw; ~25% of objects are
+        low-contrast against the local background.
+
+    Same YOLO-txt layout and disjoint train/val draws as v2.  Returns the
+    dataset.yaml path."""
+    rng = np.random.default_rng(seed ^ 0x5EED3)
+    from PIL import Image
+
+    root_p = Path(root)
+    counts = {"train": n_images, "val": n_val}
+    for split, n in counts.items():
+        img_dir = root_p / "images" / split
+        lbl_dir = root_p / "labels" / split
+        img_dir.mkdir(parents=True, exist_ok=True)
+        lbl_dir.mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            img = _v3_background(img_size, rng)
+
+            # unlabeled distractor shapes first (objects may occlude them)
+            for _ in range(int(rng.integers(distractor_shapes[0],
+                                            distractor_shapes[1] + 1))):
+                dw = int(rng.uniform(0.05, 0.18) * img_size)
+                dh = int(rng.uniform(0.05, 0.18) * img_size)
+                if dw < 4 or dh < 4:
+                    continue
+                py = int(rng.uniform(0, img_size - dh))
+                px = int(rng.uniform(0, img_size - dw))
+                mask = _v3_distractor_mask(int(rng.integers(0, 3)), dh, dw)
+                tex = _v3_texture(int(rng.integers(0, 4)), dh, dw, rng)
+                color = _V3_COLORS[int(rng.integers(0, len(_V3_COLORS)))]
+                color = color * rng.uniform(0.6, 1.1)
+                region = img[py:py + dh, px:px + dw]
+                fill = color[None, None, :] * tex[..., None]
+                region[mask] = fill[mask]
+
+            n_obj = int(rng.integers(objects_per_image[0],
+                                     objects_per_image[1] + 1))
+            placed: List[Tuple[int, int, int, int]] = []
+            lines = []
+            for _ in range(n_obj):
+                for _attempt in range(25):
+                    # log-uniform scale: many small objects, a few large
+                    w = float(np.exp(rng.uniform(np.log(0.04), np.log(0.30))))
+                    h = w * rng.uniform(0.7, 1.4)
+                    h = min(h, 0.35)
+                    cx = rng.uniform(w / 2 + 0.01, 0.99 - w / 2)
+                    cy = rng.uniform(h / 2 + 0.01, 0.99 - h / 2)
+                    x1 = int((cx - w / 2) * img_size)
+                    y1 = int((cy - h / 2) * img_size)
+                    x2 = int((cx + w / 2) * img_size)
+                    y2 = int((cy + h / 2) * img_size)
+                    if x2 - x1 < 6 or y2 - y1 < 6:
+                        continue
+                    # occlusion budget: intersection-over-area of every
+                    # EARLIER box must stay below max_occlusion, so no
+                    # labeled object ends up mostly hidden
+                    ok = True
+                    for (a, b, c, d) in placed:
+                        ix = max(0, min(x2, b) - max(x1, a))
+                        iy = max(0, min(y2, d) - max(y1, c))
+                        if ix * iy > max_occlusion * (b - a) * (d - c):
+                            ok = False
+                            break
+                    if ok:
+                        break
+                else:
+                    continue
+                placed.append((x1, x2, y1, y2))
+                cls = int(rng.integers(0, 16))
+                hh, ww = y2 - y1, x2 - x1
+                mask = _v2_shape_mask(_V2_SHAPES[cls // 4], hh, ww)
+                tex = _v3_texture(cls % 4, hh, ww, rng)
+                color = _V3_COLORS[int(rng.integers(0, len(_V3_COLORS)))]
+                color = color * rng.uniform(0.75, 1.2)
+                if rng.random() < 0.25:  # low-contrast instance
+                    local_mean = float(img[y1:y2, x1:x2].mean())
+                    color = 0.45 * color + 0.55 * local_mean
+                region = img[y1:y2, x1:x2]
+                fill = np.clip(color[None, None, :] * tex[..., None], 0, 255)
+                region[mask] = fill[mask]
+                ys, xs = np.where(mask)
+                bx1, bx2 = x1 + xs.min(), x1 + xs.max() + 1
+                by1, by2 = y1 + ys.min(), y1 + ys.max() + 1
+                bcx = (bx1 + bx2) / 2 / img_size
+                bcy = (by1 + by2) / 2 / img_size
+                bw = (bx2 - bx1) / img_size
+                bh = (by2 - by1) / img_size
+                lines.append(f"{cls} {bcx:.6f} {bcy:.6f} {bw:.6f} {bh:.6f}")
+
+            img_u8 = np.clip(img, 0, 255).astype(np.uint8)
+            Image.fromarray(img_u8).save(img_dir / f"img_{i:04d}.png")
+            (lbl_dir / f"img_{i:04d}.txt").write_text(
+                "\n".join(lines) + ("\n" if lines else "")
+            )
+        # independent val draw, stable across processes (same rule as v2)
+        split_id = {"train": 1, "val": 2}.get(split, 3)
+        rng = np.random.default_rng((seed ^ 0x5EED3) + 104729 * split_id)
+
+    yaml_path = root_p / "dataset.yaml"
+    names = "\n".join(
+        f"  {i}: {_V2_SHAPES[i // 4]}_{_V3_TEXTURES[i % 4]}"
+        for i in range(16)
+    )
+    yaml_path.write_text(
+        f"path: {root}\ntrain: images/train\nval: images/val\n"
+        f"nc: 16\nnames:\n{names}\n"
+    )
+    return str(yaml_path)

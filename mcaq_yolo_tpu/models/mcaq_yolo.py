@@ -24,6 +24,7 @@ from flax import linen as nn
 
 from ..core.bit_allocation import (
     ComplexityToBitMappingNetwork,
+    ConstantBitMapper,
     LinearBitMapper,
     percentile_normalize,
 )
@@ -54,7 +55,8 @@ class MCAQYOLO(nn.Module):
     max_bits: int = 8
     target_bits: float = 4.0
     grid_size: int = 8
-    bit_mapping: str = "mlp"  # 'mlp' (Eq.13-17) | 'linear' (paper ablation)
+    bit_mapping: str = "mlp"  # 'mlp' (Eq.13-17) | 'linear' (ablation) | 'constant' (matched-budget PTQ control)
+    constant_bits: float = 4.0  # only used when bit_mapping == 'constant'
     monotone_param: str = "softplus"  # 'softplus' (default, r4) | 'abs' (reference Eq.18 parity mode)
     normalize_complexity: bool = False
     calibration_mode: str = "minmax"
@@ -73,7 +75,10 @@ class MCAQYOLO(nn.Module):
             grid_size=self.grid_size, downsample=self.morph_downsample,
             tile_engine=self.morph_tile_engine,
         )
-        if self.bit_mapping == "linear":
+        if self.bit_mapping == "constant":
+            self.bit_mapper = ConstantBitMapper(
+                self.constant_bits, self.min_bits, self.max_bits)
+        elif self.bit_mapping == "linear":
             self.bit_mapper = LinearBitMapper(self.min_bits, self.max_bits)
         else:
             self.bit_mapper = ComplexityToBitMappingNetwork(

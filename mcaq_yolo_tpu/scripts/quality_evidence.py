@@ -24,10 +24,22 @@ quantization switched off.  This protocol fixes both:
                model with the parameter-free linear mapper, EMA-calibrated
                (calibrate.py), evaluated quantized — what naive PTQ costs,
                the gap MCAQ training is supposed to close.
+  arm M        MATCHED-BUDGET uniform PTQ (round 5, VERDICT r4 weak-6):
+               arm A's FP weights EMA-calibrated and quantized at a
+               CONSTANT bit width pinned to arm B's achieved average —
+               the equal-budget control that makes "MCAQ recovers X over
+               PTQ" an apples-to-apples claim.
+
   KD arm       (--kd-epochs) arm A's checkpoint exported as the FP32
                teacher; a logit+feature-KD student trained at the same bit
                target — compared against arm B at equal bits (VERDICT r2
                item 7: KD must earn its keep against a true FP teacher).
+
+Round 5 defaults: synthetic dataset v3 (16 nuisance-color classes, 5-10
+objects/image incl. small + occluded, distractor shapes — FP headroom per
+VERDICT r4 item 2) and the decoupled anneal horizon (alpha_t/target-bits
+complete at --anneal-frac of the run, budget anneal renormalized to land ON
+target — VERDICT r4 item 1's schedule-compression fix).
 
 Usage: python -m mcaq_yolo_tpu.scripts.quality_evidence
            [--img-size 640] [--epochs 60] [--fp-epochs 50] [--n-images 192]
@@ -116,8 +128,9 @@ def _deployed_bitmap_stats(model, variables, val_loader, max_batches=2):
 def run(img_size=640, epochs=60, n_images=192, batch_size=16,
         variant="yolov8n", root="outputs/quality_evidence_v2", seed=0,
         kd_epochs=0, fp_epochs=None, n_val=None, lr=2e-3,
-        target_bits=4.0, arms="abc", fp_ckpt=None, lambda_smooth=0.1,
-        monotone_param="softplus", min_bits=2, max_bits=8):
+        target_bits=4.0, arms="abcm", fp_ckpt=None, lambda_smooth=0.1,
+        monotone_param="softplus", min_bits=2, max_bits=8,
+        dataset="v3", matched_bits=None, anneal_frac=0.5):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -128,20 +141,24 @@ def run(img_size=640, epochs=60, n_images=192, batch_size=16,
         YOLODataset,
         load_dataset_yaml,
         make_synthetic_dataset_v2,
+        make_synthetic_dataset_v3,
     )
     from ..models import MCAQYOLO
     from ..train import Trainer, export_teacher_from_ckpt
     from ..utils.evaluation import evaluate_quantization_impact
     from ..utils.model_utils import tolerant_restore
 
-    n_classes = 8  # dataset v2 is fixed at 8 appearance-defined classes
+    # v2: 8 appearance-defined classes; v3 (default, VERDICT r4 item 2):
+    # 16 classes with color as a nuisance, small objects, occlusion,
+    # distractor shapes — unsaturated FP headroom
+    n_classes = {"v2": 8, "v3": 16}[dataset]
     n_val = n_val or max(batch_size, n_images // 4)
     fp_epochs = fp_epochs or epochs
 
-    # Fail fast on invalid arm combinations: arm C and the KD stage both
+    # Fail fast on invalid arm combinations: arms C/M and the KD stage all
     # need an FP checkpoint, which comes from arm A in this run or from
     # --fp-ckpt.  Catching this here instead of after arm B saves hours.
-    needs_fp = ("c" in arms) or kd_epochs > 0
+    needs_fp = ("c" in arms) or ("m" in arms) or kd_epochs > 0
     if needs_fp and "a" not in arms and fp_ckpt is None:
         raise ValueError(
             f"arms={arms!r}"
@@ -150,10 +167,16 @@ def run(img_size=640, epochs=60, n_images=192, batch_size=16,
             " --fp-ckpt <path to a trained FP baseline checkpoint>")
     if fp_ckpt is not None and not Path(fp_ckpt).exists():
         raise FileNotFoundError(f"--fp-ckpt not found: {fp_ckpt}")
+    if "m" in arms and "b" not in arms and matched_bits is None:
+        raise ValueError("arm 'm' (matched-budget PTQ) pins its uniform bit"
+                         " width to arm B's achieved budget: include 'b' in"
+                         " --arms or pass --matched-bits explicitly")
 
     root = Path(root).resolve()
     root.mkdir(parents=True, exist_ok=True)
-    yaml_path = make_synthetic_dataset_v2(
+    make_ds = {"v2": make_synthetic_dataset_v2,
+               "v3": make_synthetic_dataset_v3}[dataset]
+    yaml_path = make_ds(
         str(root / "data"), n_images=n_images, img_size=img_size,
         n_val=n_val, seed=seed,
     )
@@ -161,6 +184,14 @@ def run(img_size=640, epochs=60, n_images=192, batch_size=16,
     def base_config(output_dir, n_epochs):
         warmup = max(2, n_epochs // 6)
         transition = max(warmup + 2, n_epochs // 2)
+        # anneal-horizon decoupling (VERDICT r4 item 1): complete the
+        # alpha_t + target-bits anneals at anneal_frac of the run so the
+        # saturation gate reaches full strength near mid-training and the
+        # model trains at deployment temperature for the back half.
+        # exp_exact lands the target-bits schedule ON target instead of
+        # plateauing ~0.2 bits above it.  anneal_frac=1.0 restores the
+        # reference-shaped full-run anneal.
+        anneal = max(transition, int(round(n_epochs * anneal_frac)))
         return {
             "model": {"name": variant, "num_classes": n_classes,
                       "teacher_path": None},
@@ -183,7 +214,9 @@ def run(img_size=640, epochs=60, n_images=192, batch_size=16,
             "curriculum": {"enabled": True, "warmup_epochs": warmup,
                            "transition_epochs": transition,
                            "initial_temperature": 10.0,
-                           "lambda_smooth": lambda_smooth},
+                           "lambda_smooth": lambda_smooth,
+                           "anneal_epochs": anneal,
+                           "budget_anneal": "exp_exact"},
             "distillation": {"enabled": False},
             "training": {"map_interval": max(1, n_epochs // 8), "amp": True},
             "seed": seed,
@@ -197,7 +230,10 @@ def run(img_size=640, epochs=60, n_images=192, batch_size=16,
                         "min_bits": min_bits, "max_bits": max_bits,
                         "lambda_smooth": lambda_smooth,
                         "monotone_param": monotone_param,
-                        "dataset": "synthetic_v2"}}
+                        "anneal_frac": anneal_frac,
+                        "budget_anneal": "exp_exact",
+                        "n_classes": n_classes,
+                        "dataset": f"synthetic_{dataset}"}}
     t0 = time.time()
     fp_arm = mcaq_arm = None
     mcaq_trainer = None
@@ -256,33 +292,35 @@ def run(img_size=640, epochs=60, n_images=192, batch_size=16,
         mcaq_arm["wall_time_s"] = round(time.time() - t1, 1)
         table["mcaq_trained_arm"] = mcaq_arm
 
-    # ---------------- arm C: post-hoc quantized FP -----------------------
-    if "c" in arms:
-        t2 = time.time()
-        posthoc_model = MCAQYOLO(variant=variant, num_classes=n_classes,
-                                 bit_mapping="linear", grid_size=8,
-                                 normalize_complexity=True)
+    # ---------------- arms C + M: post-hoc quantized FP ------------------
+    def _posthoc_eval(**mapper_kwargs):
+        """Overlay arm A's FP weights into an MCAQ template, EMA-calibrate,
+        evaluate quantized.  warn=False: a PLAIN FP checkpoint leaves the
+        quantizer/mapper keys at their initialized values by design (that
+        is what "post-hoc" means here)."""
+        ph_model = MCAQYOLO(variant=variant, num_classes=n_classes,
+                            grid_size=8, normalize_complexity=True,
+                            **mapper_kwargs)
         dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
-        posthoc_vars = posthoc_model.init(jax.random.PRNGKey(0), dummy,
-                                          training=False)
-        # warn=False: overlaying a PLAIN FP checkpoint into an MCAQ template
-        # leaves the quantizer/mapper keys at their initialized values by
-        # design (that is what "post-hoc" means here)
-        posthoc_vars = tolerant_restore(posthoc_vars, fp_ckpt, warn=False)
+        ph_vars = ph_model.init(jax.random.PRNGKey(0), dummy, training=False)
+        ph_vars = tolerant_restore(ph_vars, fp_ckpt, warn=False)
         train_dir = load_dataset_yaml(yaml_path)["train"]
         calib_loader = DataLoader(
             YOLODataset(train_dir, img_size, 16, augment=False),
             batch_size, shuffle=False,
         )
-        posthoc_vars = calibrate(posthoc_model, posthoc_vars, calib_loader,
-                                 num_images=min(n_images, 256))
+        ph_vars = calibrate(ph_model, ph_vars, calib_loader,
+                            num_images=min(n_images, 256))
         val_loader = (mcaq_trainer.val_loader if mcaq_trainer is not None
                       else make_val_loader())
-        posthoc_arm = _eval_quantized_arm(posthoc_model, posthoc_vars,
-                                          val_loader, n_classes,
-                                          quantize=True)
-        posthoc_arm["compression"] = round(
-            32.0 / max(posthoc_arm["avg_bits"], 1e-9), 2)
+        arm = _eval_quantized_arm(ph_model, ph_vars, val_loader, n_classes,
+                                  quantize=True)
+        arm["compression"] = round(32.0 / max(arm["avg_bits"], 1e-9), 2)
+        return arm
+
+    if "c" in arms:
+        t2 = time.time()
+        posthoc_arm = _posthoc_eval(bit_mapping="linear")
         posthoc_arm["wall_time_s"] = round(time.time() - t2, 1)
         table["posthoc_quant_arm"] = posthoc_arm
 
@@ -293,6 +331,30 @@ def run(img_size=640, epochs=60, n_images=192, batch_size=16,
         if mcaq_arm is not None:
             table["mcaq_recovers_over_posthoc_map50_95"] = round(
                 mcaq_arm["map50_95"] - posthoc_arm["map50_95"], 4)
+
+    # arm M: MATCHED-BUDGET uniform PTQ (VERDICT r4 weak-6) — same FP
+    # weights and calibration as arm C, but the bit map is pinned to arm
+    # B's achieved average (nearest integer), so the MCAQ-vs-PTQ delta
+    # compares equal bit budgets instead of favoring MCAQ with a
+    # lower-budget arm.
+    if "m" in arms:
+        t2m = time.time()
+        pin = matched_bits if matched_bits is not None \
+            else mcaq_arm["avg_bits"]
+        matched_arm = _posthoc_eval(bit_mapping="constant",
+                                    constant_bits=float(round(pin)))
+        matched_arm["pinned_bits"] = float(round(pin))
+        matched_arm["pin_source"] = ("--matched-bits"
+                                     if matched_bits is not None
+                                     else "arm B achieved avg_bits")
+        matched_arm["wall_time_s"] = round(time.time() - t2m, 1)
+        table["matched_ptq_arm"] = matched_arm
+        if mcaq_arm is not None:
+            table["mcaq_vs_matched_ptq_map50_95"] = round(
+                mcaq_arm["map50_95"] - matched_arm["map50_95"], 4)
+        if fp_arm is not None:
+            table["delta_matched_ptq_vs_fp_map50_95"] = round(
+                matched_arm["map50_95"] - fp_arm["map50_95"], 4)
     if fp_arm is not None and mcaq_arm is not None:
         table["delta_mcaq_vs_fp_map50_95"] = round(
             mcaq_arm["map50_95"] - fp_arm["map50_95"], 4)
@@ -364,9 +426,20 @@ def main(argv=None):
     p.add_argument("--kd-epochs", type=int, default=0,
                    help="also run the FP-teacher-export + KD-student arm")
     p.add_argument("--target-bits", type=float, default=4.0)
-    p.add_argument("--arms", default="abc",
-                   help="which arms to train here (subset of 'abc'; arms "
-                        "needing the FP ckpt can reuse one via --fp-ckpt)")
+    p.add_argument("--arms", default="abcm",
+                   help="which arms to run (subset of 'abcm': a=FP-trained, "
+                        "b=MCAQ-trained, c=post-hoc linear PTQ, m=matched-"
+                        "budget uniform PTQ; arms needing the FP ckpt can "
+                        "reuse one via --fp-ckpt)")
+    p.add_argument("--dataset", default="v3", choices=["v2", "v3"],
+                   help="synthetic dataset generation (v3 = headroom: 16 "
+                        "nuisance-color classes, small objects, occlusion)")
+    p.add_argument("--matched-bits", type=float, default=None,
+                   help="pin arm m's uniform bit width explicitly (default: "
+                        "arm B's achieved avg_bits)")
+    p.add_argument("--anneal-frac", type=float, default=0.5,
+                   help="fraction of the run over which alpha_t/target-bits "
+                        "anneal completes (1.0 = reference full-run anneal)")
     p.add_argument("--fp-ckpt", default=None,
                    help="existing arm-A checkpoint to reuse when 'a' is "
                         "not in --arms")
@@ -397,7 +470,9 @@ def main(argv=None):
                 monotone_param=args.monotone_param,
                 arms=args.arms, fp_ckpt=args.fp_ckpt,
                 lambda_smooth=args.lambda_smooth,
-                min_bits=args.min_bits, max_bits=args.max_bits)
+                min_bits=args.min_bits, max_bits=args.max_bits,
+                dataset=args.dataset, matched_bits=args.matched_bits,
+                anneal_frac=args.anneal_frac)
     s = json.dumps(table, indent=2, default=float)
     print(s)
     if args.out:

@@ -377,6 +377,14 @@ class Trainer:
             lambda_bit_gate=bool(ccfg.get("lambda_bit_gate", True)),
             min_bits=float(qcfg.get("min_bits", 2)),
             max_bits=float(qcfg.get("max_bits", 8)),
+            # Anneal-horizon decoupling for short protocols (VERDICT r4
+            # item 1): alpha_t + target-bits complete at anneal_epochs,
+            # leaving the post-anneal epochs at deployment temperature
+            # with lambda1 at full gate strength.  Defaults (None/'exp')
+            # keep the reference-exact full-run anneal.
+            anneal_epochs=(int(ccfg["anneal_epochs"])
+                           if ccfg.get("anneal_epochs") else None),
+            budget_anneal=str(ccfg.get("budget_anneal", "exp")),
         )
         self.complexity_scores = None
         if ccfg.get("enabled", True):

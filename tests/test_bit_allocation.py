@@ -210,3 +210,20 @@ def test_softplus_is_the_default_everywhere():
         (Path(__file__).parent.parent / "configs" / "train_config.yaml")
         .read_text())
     assert cfg["quantization"]["monotone_param"] == "softplus"
+
+
+def test_constant_bit_mapper():
+    """Matched-budget PTQ control (quality arm M): constant map, rounded in
+    deployment mode, clamped to [min, max]."""
+    import jax
+    from mcaq_yolo_tpu.core.bit_allocation import ConstantBitMapper
+
+    c = jnp.linspace(0, 1, 64).reshape(1, 8, 8)
+    m = ConstantBitMapper(bits=5.4)
+    out = m.apply({}, c, 1.0, return_continuous=False)
+    assert out.shape == c.shape
+    assert jnp.all(out == 5.0)
+    cont = m.apply({}, c, 1.0, return_continuous=True)
+    assert jnp.all(jnp.abs(cont - 5.4) < 1e-6)
+    lo = ConstantBitMapper(bits=1.0, min_bits=2, max_bits=8)
+    assert jnp.all(lo.apply({}, c, 1.0) == 2.0)

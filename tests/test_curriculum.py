@@ -117,3 +117,31 @@ def test_temperature_variants():
     assert s.get_temperature(0) == 10.0
     assert s.get_temperature(30) == 5.0
     assert s.get_temperature(60) == 2.5
+
+
+def test_anneal_horizon_decoupling():
+    """anneal_epochs completes the alpha_t + target-bits schedules early
+    (VERDICT r4 item 1: at short protocols the full-run anneal left lambda1
+    fully gated-on for only the last ~10% of training)."""
+    s = CurriculumScheduler(warmup_epochs=8, transition_epochs=25,
+                            total_epochs=50, anneal_epochs=25,
+                            budget_anneal="exp_exact")
+    # alpha anneal completes at epoch 25, not 50
+    assert s.get_temperature(25) == pytest.approx(
+        1.0 + 9.0 * math.exp(-5.0), rel=1e-9)
+    # gate reaches full strength before half-run
+    assert s.get_bit_budget_gate(23) == 1.0
+    # exp_exact lands ON target at the end of the anneal window and holds
+    assert s.get_target_bits(25) == pytest.approx(4.0, abs=1e-9)
+    assert s.get_target_bits(50) == pytest.approx(4.0, abs=1e-9)
+    # monotone decreasing through the window
+    bits = [s.get_target_bits(e) for e in range(8, 26)]
+    assert all(a >= b for a, b in zip(bits, bits[1:]))
+
+    # defaults stay reference-exact: anneal over total_epochs, exp plateau
+    r = CurriculumScheduler(total_epochs=300, warmup_epochs=20)
+    assert r.anneal_epochs == 300
+    assert r.get_target_bits(300) == pytest.approx(
+        4.0 + 4.0 * math.exp(-3.0), rel=1e-9)
+    with pytest.raises(ValueError):
+        CurriculumScheduler(budget_anneal="bogus")

@@ -251,3 +251,37 @@ def test_affine_augmentation(tiny_dataset):
         if not np.array_equal(item["image"], ref["image"]):
             moved += 1
     assert moved >= 3, "affine should alter nearly every image"
+
+
+def test_synthetic_v3_headroom_properties(tmp_path):
+    """v3 must carry the difficulty levers VERDICT r4 item 2 asked for:
+    16 classes, many small objects, bounded occlusion, valid YOLO labels."""
+    import glob
+
+    from mcaq_yolo_tpu.data.dataset import (
+        load_dataset_yaml,
+        make_synthetic_dataset_v3,
+    )
+
+    y = make_synthetic_dataset_v3(str(tmp_path), n_images=6, img_size=320,
+                                  n_val=2, seed=1)
+    d = load_dataset_yaml(y)
+    assert d["nc"] == 16
+    n_obj, areas, classes = [], [], set()
+    for f in glob.glob(str(tmp_path / "labels" / "train" / "*.txt")):
+        lines = [ln for ln in open(f).read().splitlines() if ln]
+        n_obj.append(len(lines))
+        for ln in lines:
+            p = ln.split()
+            assert len(p) == 5
+            cls, cx, cy, w, h = int(p[0]), *map(float, p[1:])
+            classes.add(cls)
+            assert 0 <= cls < 16
+            assert 0 < w <= 1 and 0 < h <= 1
+            assert 0 <= cx - w / 2 + 1e-6 and cx + w / 2 <= 1 + 1e-6
+            areas.append(w * h)
+    assert max(n_obj) >= 5            # many objects per image
+    assert min(areas) < 0.01          # small objects present
+    assert len(classes) >= 6          # class variety even in 6 images
+    # val split exists and is disjoint content (different seed stream)
+    assert len(glob.glob(str(tmp_path / "images" / "val" / "*.png"))) == 2
