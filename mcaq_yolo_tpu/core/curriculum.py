@@ -89,6 +89,8 @@ class CurriculumScheduler:
     def get_complexity_threshold(self, epoch: int) -> float:
         """tau_t = tau0 + (1 - tau0) * t/Twarm for t <= Twarm, then 1.0."""
         if epoch <= self.warmup_epochs:
+            if self.warmup_epochs == 0:  # no warm-up: threshold fully open
+                return 1.0
             progress = epoch / self.warmup_epochs
             return self.initial_complexity + (1.0 - self.initial_complexity) * progress
         return 1.0

@@ -1029,7 +1029,7 @@ def _v3_background(img_size: int, rng) -> np.ndarray:
     y, x = np.mgrid[0:img_size, 0:img_size].astype(np.float32)
     t = (np.cos(ang) * x + np.sin(ang) * y) / (np.sqrt(2) * img_size)
     base = g0 + (g1 - g0) * (t - t.min()) / max(float(np.ptp(t)), 1e-6)
-    for cells, amp in ((5, 12.0), (17, 7.0)):
+    for cells, amp in ((5, 8.0), (17, 5.0)):
         coarse = rng.normal(0, amp, (cells, cells)).astype(np.float32)
         reps = -(-img_size // cells)  # ceil division
         up = np.kron(coarse, np.ones((reps, reps), np.float32))
@@ -1061,9 +1061,11 @@ def make_synthetic_dataset_v3(
     img_size: int = 640,
     n_val: int = 64,
     seed: int = 0,
-    objects_per_image: Tuple[int, int] = (5, 10),
-    distractor_shapes: Tuple[int, int] = (2, 4),
-    max_occlusion: float = 0.45,
+    objects_per_image: Tuple[int, int] = (4, 9),
+    distractor_shapes: Tuple[int, int] = (1, 3),
+    max_occlusion: float = 0.40,
+    min_scale: float = 0.055,
+    max_scale: float = 0.32,
 ) -> str:
     """Headroom successor to v2 (VERDICT r4 item 2: v2's FP arm saturated at
     mAP@0.5 = 0.998, leaving mAP@50-95 on 48 images as the only
@@ -1121,7 +1123,8 @@ def make_synthetic_dataset_v3(
             for _ in range(n_obj):
                 for _attempt in range(25):
                     # log-uniform scale: many small objects, a few large
-                    w = float(np.exp(rng.uniform(np.log(0.04), np.log(0.30))))
+                    w = float(np.exp(rng.uniform(np.log(min_scale),
+                                                 np.log(max_scale))))
                     h = w * rng.uniform(0.7, 1.4)
                     h = min(h, 0.35)
                     cx = rng.uniform(w / 2 + 0.01, 0.99 - w / 2)
@@ -1153,7 +1156,7 @@ def make_synthetic_dataset_v3(
                 tex = _v3_texture(cls % 4, hh, ww, rng)
                 color = _V3_COLORS[int(rng.integers(0, len(_V3_COLORS)))]
                 color = color * rng.uniform(0.75, 1.2)
-                if rng.random() < 0.25:  # low-contrast instance
+                if rng.random() < 0.15:  # low-contrast instance
                     local_mean = float(img[y1:y2, x1:x2].mean())
                     color = 0.45 * color + 0.55 * local_mean
                 region = img[y1:y2, x1:x2]

@@ -51,6 +51,9 @@ from mcaq_yolo_tpu.utils.evaluation import (  # noqa: E402
     detections_to_numpy,
 )
 
+# full-model torch-vs-JAX parity - excluded from the CI fast gate
+pytestmark = pytest.mark.slow
+
 NC = 4
 IMG = 128
 B = 2

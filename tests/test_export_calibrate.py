@@ -7,6 +7,10 @@ import numpy as np
 from mcaq_yolo_tpu.calibrate import calibrate
 from mcaq_yolo_tpu.export import export_inference, load_exported, save_stablehlo
 from mcaq_yolo_tpu.models import MCAQYOLO
+import pytest
+
+# StableHLO export round-trip - excluded from the CI fast gate
+pytestmark = pytest.mark.slow
 
 IMG = 64  # tiny: export/calibrate semantics, not accuracy
 

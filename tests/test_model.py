@@ -10,6 +10,9 @@ import pytest
 from mcaq_yolo_tpu.models import MCAQYOLO, YOLOv8
 from mcaq_yolo_tpu.models.yolo import REG_MAX, variant_channels
 
+# whole-model forward compiles (minutes cold) - excluded from the CI fast gate
+pytestmark = pytest.mark.slow
+
 IMG = 128  # small but valid: P3 16x16, P4 8x8, P5 4x4
 
 

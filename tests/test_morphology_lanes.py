@@ -19,6 +19,9 @@ from mcaq_yolo_tpu.core import morphology as M
 from mcaq_yolo_tpu.core import morphology_lanes as ml
 from mcaq_yolo_tpu.core import image_ops as iops
 
+# lane-engine equivalence sweep - excluded from the CI fast gate
+pytestmark = pytest.mark.slow
+
 TOL = 1e-5
 
 

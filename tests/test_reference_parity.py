@@ -41,10 +41,14 @@ torch = pytest.importorskip("torch")
 
 REF_ROOT = "/root/reference"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(REF_ROOT, "mcaq_yolo")),
-    reason="reference checkout not available",
-)
+# 33-test torch reference parity sweep - excluded from the CI fast gate
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.path.isdir(os.path.join(REF_ROOT, "mcaq_yolo")),
+        reason="reference checkout not available",
+    ),
+]
 
 
 @pytest.fixture(scope="module")

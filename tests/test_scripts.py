@@ -5,6 +5,10 @@ import numpy as np
 
 from mcaq_yolo_tpu.scripts.m3_permutation import permute_bit_map
 from mcaq_yolo_tpu.scripts.m4_variation_gain import bootstrap_ci
+import pytest
+
+# script-level e2e drives on the session-shared trained checkpoint - excluded from the CI fast gate
+pytestmark = pytest.mark.slow
 
 
 def test_permute_preserves_histogram():

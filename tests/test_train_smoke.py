@@ -15,6 +15,9 @@ import pytest
 from mcaq_yolo_tpu.data import make_synthetic_dataset
 from mcaq_yolo_tpu.train import Trainer
 
+# multi-epoch end-to-end training runs - excluded from the CI fast gate
+pytestmark = pytest.mark.slow
+
 IMG = 96
 
 

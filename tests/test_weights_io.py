@@ -16,6 +16,9 @@ from mcaq_yolo_tpu.models.weights_io import (
     load_pretrained_into,
 )
 
+# torch->JAX converter on full model trees - excluded from the CI fast gate
+pytestmark = pytest.mark.slow
+
 
 def _fake_torch_sd(variables):
     """Inverse of the converter: emit Ultralytics-style keys from the flax
