@@ -35,6 +35,10 @@ class CurriculumScheduler:
         max_bits: float = 8.0,
         anneal_epochs: int | None = None,  # horizon for alpha_t + target-bits
         budget_anneal: str = "exp",     # 'exp' (reference) | 'exp_exact'
+        budget_controller: bool = False,  # closed-loop lambda1 boost
+        controller_kp: float = 0.3,
+        controller_deadband: float = 0.1,
+        controller_max_boost: float = 64.0,
     ):
         self.warmup_epochs = warmup_epochs
         self.transition_epochs = transition_epochs
@@ -64,6 +68,23 @@ class CurriculumScheduler:
             raise ValueError(f"budget_anneal must be 'exp' or 'exp_exact', "
                              f"got {budget_anneal!r}")
         self.budget_anneal = budget_anneal
+        # -- closed-loop budget controller (VERDICT r4 item 1) -------------
+        # Fixing the schedule alone leaves an EQUILIBRIUM residual: with
+        # the reference's fixed lambda1 <= 0.1, dLbit/db = 2*lambda1*(b-t)
+        # settles where it balances the detection loss's appetite for bits
+        # (~0.5 loss-units/bit measured at the r3/r4 settling points) —
+        # ~1-1.5 bits above target on hard data.  The controller closes
+        # the loop: once the allocation is live (gate == 1), each epoch
+        # multiplies a lambda1 boost by exp(kp * (measured_bits - target)),
+        # clamped to [1, max_boost], with a +/-deadband so it parks when
+        # the budget is met.  Boost never drops below 1, so lambda1 never
+        # goes below the reference's own schedule; disabled (default) the
+        # reference semantics are untouched.
+        self.budget_controller = budget_controller
+        self.controller_kp = controller_kp
+        self.controller_deadband = controller_deadband
+        self.controller_max_boost = controller_max_boost
+        self.lambda1_boost = 1.0
         self.initial_complexity = initial_complexity
         self.initial_temperature = initial_temperature
         self.initial_bits = initial_bits
@@ -197,6 +218,28 @@ class CurriculumScheduler:
         return min(1.0, max(0.0,
                             (alpha_sat - alpha) / (alpha_sat - alpha_floor)))
 
+    # -- closed-loop budget controller update ------------------------------
+    def update_budget_controller(self, measured_bits: float,
+                                 epoch: int) -> float:
+        """Feed back the epoch's measured mean bit width.  Call once per
+        epoch AFTER training it; returns the boost that will apply to the
+        NEXT epoch's lambda1.  No-op unless budget_controller is on and the
+        allocation is live (saturation gate fully open — controlling while
+        alpha_t still pins the map would just re-create the crush-pressure
+        pathology the gate exists to prevent)."""
+        if not self.budget_controller:
+            return self.lambda1_boost
+        if self.get_bit_budget_gate(epoch) < 1.0:
+            return self.lambda1_boost
+        err = float(measured_bits) - self.get_target_bits(epoch)
+        if abs(err) <= self.controller_deadband:
+            return self.lambda1_boost
+        self.lambda1_boost = float(min(
+            self.controller_max_boost,
+            max(1.0, self.lambda1_boost * math.exp(self.controller_kp * err)),
+        ))
+        return self.lambda1_boost
+
     # -- loss weights (paper Eq.20 + Table X) ------------------------------
     def get_loss_weights(self, epoch: int) -> Dict[str, float]:
         """lambda1 annealed 0.01 -> 0.1 and lambda2 ramped 0 ->
@@ -214,7 +257,7 @@ class CurriculumScheduler:
 
         return {
             "detection": 1.0,
-            "bit_budget": lambda1 * gate,
+            "bit_budget": lambda1 * gate * self.lambda1_boost,
             "smoothness": self.lambda_smooth * ramp * gate,
             "distillation": 0.5,
             "regularization": 1e-4,

@@ -220,7 +220,8 @@ def run(img_size=640, epochs=60, n_images=192, batch_size=16,
                            "initial_temperature": 10.0,
                            "lambda_smooth": lambda_smooth,
                            "anneal_epochs": anneal,
-                           "budget_anneal": "exp_exact"},
+                           "budget_anneal": "exp_exact",
+                           "budget_controller": True},
             "distillation": {"enabled": False},
             "training": {"map_interval": max(1, n_epochs // 8), "amp": True},
             "seed": seed,

@@ -385,6 +385,12 @@ class Trainer:
             anneal_epochs=(int(ccfg["anneal_epochs"])
                            if ccfg.get("anneal_epochs") else None),
             budget_anneal=str(ccfg.get("budget_anneal", "exp")),
+            # closed-loop lambda1 boost toward the bit budget once the
+            # allocation is live (core/curriculum.py docstring); the fixed
+            # reference schedule alone settles ~1-1.5 bits above target
+            budget_controller=bool(ccfg.get("budget_controller", False)),
+            controller_kp=float(ccfg.get("controller_kp", 0.3)),
+            controller_deadband=float(ccfg.get("controller_deadband", 0.1)),
         )
         self.complexity_scores = None
         if ccfg.get("enabled", True):
@@ -895,6 +901,18 @@ class Trainer:
 
             train_metrics = self.train_epoch(epoch)
             train_metrics["val_loss"] = self.compute_val_loss(epoch)
+
+            # closed-loop bit-budget controller: feed back this epoch's
+            # measured mean bit width; boosts the NEXT epoch's lambda1
+            # (no-op unless curriculum.budget_controller is enabled)
+            if "avg_bits" in train_metrics:
+                boost = self.curriculum.update_budget_controller(
+                    train_metrics["avg_bits"], epoch)
+                train_metrics["lambda1_boost"] = boost
+                if boost > 1.0:
+                    print(f"          budget controller: bits="
+                          f"{train_metrics['avg_bits']:.2f} -> "
+                          f"lambda1 boost {boost:.2f}x")
 
             eval_metrics = {}
             if (epoch + 1) % self.map_interval == 0 or epoch == self.epochs - 1:

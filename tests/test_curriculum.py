@@ -145,3 +145,33 @@ def test_anneal_horizon_decoupling():
         4.0 + 4.0 * math.exp(-3.0), rel=1e-9)
     with pytest.raises(ValueError):
         CurriculumScheduler(budget_anneal="bogus")
+
+
+def test_budget_controller():
+    """Closed-loop lambda1 boost: off while gated, multiplicative while the
+    measured budget overshoots, parked inside the deadband, floored at 1."""
+    s = CurriculumScheduler(warmup_epochs=8, transition_epochs=25,
+                            total_epochs=50, anneal_epochs=25,
+                            budget_anneal="exp_exact",
+                            budget_controller=True, controller_kp=0.3)
+    # gate not fully open early: controller must not engage
+    assert s.get_bit_budget_gate(10) < 1.0
+    assert s.update_budget_controller(6.0, 10) == 1.0
+    # post-anneal: overshoot boosts multiplicatively
+    b1 = s.update_budget_controller(5.5, 30)
+    assert b1 == pytest.approx(math.exp(0.3 * 1.5))
+    b2 = s.update_budget_controller(5.0, 31)
+    assert b2 == pytest.approx(b1 * math.exp(0.3 * 1.0))
+    assert s.get_loss_weights(32)["bit_budget"] == pytest.approx(
+        (0.01 + 0.09 * 32 / 50) * b2)
+    # inside the deadband: parked
+    assert s.update_budget_controller(4.05, 33) == b2
+    # undershoot decays but never below 1
+    for _ in range(40):
+        s.update_budget_controller(2.0, 34)
+    assert s.lambda1_boost == 1.0
+    # disabled: permanent no-op
+    ref = CurriculumScheduler()
+    assert ref.update_budget_controller(8.0, 299) == 1.0
+    assert ref.get_loss_weights(299)["bit_budget"] == pytest.approx(
+        0.01 + 0.09 * 299 / 300)
