@@ -35,10 +35,11 @@ class CurriculumScheduler:
         max_bits: float = 8.0,
         anneal_epochs: int | None = None,  # horizon for alpha_t + target-bits
         budget_anneal: str = "exp",     # 'exp' (reference) | 'exp_exact'
-        budget_controller: bool = False,  # closed-loop lambda1 boost
+        budget_controller: bool = False,  # closed-loop budget enforcement
         controller_kp: float = 0.3,
         controller_deadband: float = 0.1,
-        controller_max_boost: float = 64.0,
+        controller_max_boost: float = 8.0,
+        controller_scale_kp: float = 0.7,
     ):
         self.warmup_epochs = warmup_epochs
         self.transition_epochs = transition_epochs
@@ -73,18 +74,38 @@ class CurriculumScheduler:
         # the reference's fixed lambda1 <= 0.1, dLbit/db = 2*lambda1*(b-t)
         # settles where it balances the detection loss's appetite for bits
         # (~0.5 loss-units/bit measured at the r3/r4 settling points) —
-        # ~1-1.5 bits above target on hard data.  The controller closes
-        # the loop: once the allocation is live (gate == 1), each epoch
-        # multiplies a lambda1 boost by exp(kp * (measured_bits - target)),
-        # clamped to [1, max_boost], with a +/-deadband so it parks when
-        # the budget is met.  Boost never drops below 1, so lambda1 never
-        # goes below the reference's own schedule; disabled (default) the
-        # reference semantics are untouched.
+        # ~1-1.5 bits above target on hard data.
+        #
+        # TWO actuators, measured against each other in the round-5 pilots:
+        #
+        #   bit_scale      (PRIMARY) a host-side multiplicative trim on the
+        #                  bit map, applied through the mapper's existing
+        #                  temperature pathway (the reference already
+        #                  multiplies bits by the alpha_t schedule scalar —
+        #                  this is the same mechanism driven by the
+        #                  measured budget instead of a clock):
+        #                  s *= (target/measured)^scale_kp, clamped.
+        #                  Instant and exact, and it PRESERVES the spatial
+        #                  shape of the allocation (it scales, not crushes).
+        #   lambda1 boost  (secondary, cap 8x) exp(kp * err) on lambda1 so
+        #                  the mapper itself also learns toward the budget.
+        #                  Measured WHY the boost alone fails (pilot r5-2):
+        #                  Adam's per-parameter step is lr-bounded, so a
+        #                  64x lambda1 moved the mean <0.2 bits in 10
+        #                  epochs while the crush pressure flattened the
+        #                  spatial std to 0.009 — budget still missed AND
+        #                  the allocation destroyed.
+        #
+        # Both engage only once the allocation is live (gate == 1); boost
+        # never drops below 1, scale recovers toward 1 on undershoot;
+        # disabled (default) the reference semantics are untouched.
         self.budget_controller = budget_controller
         self.controller_kp = controller_kp
         self.controller_deadband = controller_deadband
         self.controller_max_boost = controller_max_boost
+        self.controller_scale_kp = controller_scale_kp
         self.lambda1_boost = 1.0
+        self.bit_scale = 1.0
         self.initial_complexity = initial_complexity
         self.initial_temperature = initial_temperature
         self.initial_bits = initial_bits
@@ -136,6 +157,13 @@ class CurriculumScheduler:
                     temp *= 0.5
             return temp
         return 1.0
+
+    def get_effective_temperature(self, epoch: int) -> float:
+        """alpha_t x the controller's bit_scale trim (1.0 when the
+        controller is off/idle).  The trim persists at deployment: a model
+        trained under bit_scale=s deploys its bit maps at temperature s
+        (saved as 'deploy_temperature' in checkpoint meta)."""
+        return self.get_temperature(epoch) * self.bit_scale
 
     # -- target bits -----------------------------------------------------
     def get_target_bits(self, epoch: int) -> float:
@@ -222,23 +250,28 @@ class CurriculumScheduler:
     def update_budget_controller(self, measured_bits: float,
                                  epoch: int) -> float:
         """Feed back the epoch's measured mean bit width.  Call once per
-        epoch AFTER training it; returns the boost that will apply to the
-        NEXT epoch's lambda1.  No-op unless budget_controller is on and the
-        allocation is live (saturation gate fully open — controlling while
-        alpha_t still pins the map would just re-create the crush-pressure
-        pathology the gate exists to prevent)."""
+        epoch AFTER training it; updates bit_scale (primary actuator, see
+        __init__ comment) and the lambda1 boost for the NEXT epoch.
+        Returns the new bit_scale.  No-op unless budget_controller is on
+        and the allocation is live (saturation gate fully open —
+        controlling while alpha_t still pins the map would just re-create
+        the crush-pressure pathology the gate exists to prevent)."""
         if not self.budget_controller:
-            return self.lambda1_boost
+            return self.bit_scale
         if self.get_bit_budget_gate(epoch) < 1.0:
-            return self.lambda1_boost
-        err = float(measured_bits) - self.get_target_bits(epoch)
+            return self.bit_scale
+        target = self.get_target_bits(epoch)
+        err = float(measured_bits) - target
         if abs(err) <= self.controller_deadband:
-            return self.lambda1_boost
+            return self.bit_scale
+        self.bit_scale = float(min(1.3, max(0.5,
+            self.bit_scale * (target / max(float(measured_bits), 1e-6))
+            ** self.controller_scale_kp)))
         self.lambda1_boost = float(min(
             self.controller_max_boost,
             max(1.0, self.lambda1_boost * math.exp(self.controller_kp * err)),
         ))
-        return self.lambda1_boost
+        return self.bit_scale
 
     # -- loss weights (paper Eq.20 + Table X) ------------------------------
     def get_loss_weights(self, epoch: int) -> Dict[str, float]:

@@ -1061,11 +1061,11 @@ def make_synthetic_dataset_v3(
     img_size: int = 640,
     n_val: int = 64,
     seed: int = 0,
-    objects_per_image: Tuple[int, int] = (4, 9),
-    distractor_shapes: Tuple[int, int] = (1, 3),
-    max_occlusion: float = 0.40,
-    min_scale: float = 0.055,
-    max_scale: float = 0.32,
+    objects_per_image: Tuple[int, int] = (3, 7),
+    distractor_shapes: Tuple[int, int] = (1, 2),
+    max_occlusion: float = 0.35,
+    min_scale: float = 0.07,
+    max_scale: float = 0.34,
 ) -> str:
     """Headroom successor to v2 (VERDICT r4 item 2: v2's FP arm saturated at
     mAP@0.5 = 0.998, leaving mAP@50-95 on 48 images as the only

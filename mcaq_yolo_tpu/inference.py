@@ -115,6 +115,10 @@ class Predictor:
             morph_downsample, morph.get("downsample"), 1, int)
         morph_tile_engine = auto(
             morph_tile_engine, morph.get("tile_engine"), "lanes", str)
+        # budget-controller trim (train.py save_checkpoint meta): a model
+        # trained under bit_scale=s deploys its bit maps at temperature s;
+        # 1.0 for controller-off and legacy checkpoints
+        self.deploy_temperature = float(meta.get("deploy_temperature", 1.0))
 
         self.img_size = img_size
         self.num_classes = num_classes
@@ -202,7 +206,8 @@ class Predictor:
     def _predict_device(self, variables, images):
         """Jitted device program: forward + decode + NMS."""
         raw, aux = self.model.apply(
-            variables, images, temperature=1.0, quantize=True, training=False
+            variables, images, temperature=self.deploy_temperature,
+            quantize=True, training=False
         )
         *det, gated_count = decode_and_nms(
             raw, self.num_classes,

@@ -663,7 +663,7 @@ class Trainer:
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         stage = self.curriculum.get_stage(epoch)
-        temp = self.curriculum.get_temperature(epoch)
+        temp = self.curriculum.get_effective_temperature(epoch)
         tau_t = self.curriculum.get_complexity_threshold(epoch)
         weights = self.curriculum.get_loss_weights(epoch)
         target_bits = self.curriculum.get_target_bits(epoch)
@@ -726,7 +726,7 @@ class Trainer:
         """Mean validation loss at the epoch's curriculum settings, every
         epoch (reference train.py:712-775)."""
         stage = self.curriculum.get_stage(epoch)
-        temp = self.curriculum.get_temperature(epoch)
+        temp = self.curriculum.get_effective_temperature(epoch)
         weights = self.curriculum.get_loss_weights(epoch)
         target_bits = self.curriculum.get_target_bits(epoch)
         variables = self._variables()
@@ -761,7 +761,7 @@ class Trainer:
         """Val mAP@0.5 at the epoch's alpha_t and stage quantize flag
         (reference train.py:712-775)."""
         stage = self.curriculum.get_stage(epoch)
-        temp = self.curriculum.get_temperature(epoch)
+        temp = self.curriculum.get_effective_temperature(epoch)
         quantize = stage >= 2
 
         predictions, targets = [], []
@@ -839,6 +839,10 @@ class Trainer:
             "variant": self.variant,
             "num_classes": self.num_classes,
             "img_size": self.img_size,
+            # budget-controller trim: a model trained under bit_scale=s
+            # deploys its bit maps at temperature s (1.0 when the
+            # controller is off — the reference-exact deployment)
+            "deploy_temperature": float(self.curriculum.bit_scale),
             "config": cfg,
         }
         (self.output_dir / (name + ".json")).write_text(
@@ -903,16 +907,19 @@ class Trainer:
             train_metrics["val_loss"] = self.compute_val_loss(epoch)
 
             # closed-loop bit-budget controller: feed back this epoch's
-            # measured mean bit width; boosts the NEXT epoch's lambda1
-            # (no-op unless curriculum.budget_controller is enabled)
+            # measured mean bit width; trims the NEXT epoch's bit_scale
+            # (primary) and lambda1 boost (secondary) — no-op unless
+            # curriculum.budget_controller is enabled
             if "avg_bits" in train_metrics:
-                boost = self.curriculum.update_budget_controller(
+                scale = self.curriculum.update_budget_controller(
                     train_metrics["avg_bits"], epoch)
-                train_metrics["lambda1_boost"] = boost
-                if boost > 1.0:
+                train_metrics["bit_scale"] = scale
+                train_metrics["lambda1_boost"] = self.curriculum.lambda1_boost
+                if scale != 1.0 or self.curriculum.lambda1_boost > 1.0:
                     print(f"          budget controller: bits="
-                          f"{train_metrics['avg_bits']:.2f} -> "
-                          f"lambda1 boost {boost:.2f}x")
+                          f"{train_metrics['avg_bits']:.2f} -> bit_scale "
+                          f"{scale:.3f}, lambda1 boost "
+                          f"{self.curriculum.lambda1_boost:.2f}x")
 
             eval_metrics = {}
             if (epoch + 1) % self.map_interval == 0 or epoch == self.epochs - 1:

@@ -148,30 +148,43 @@ def test_anneal_horizon_decoupling():
 
 
 def test_budget_controller():
-    """Closed-loop lambda1 boost: off while gated, multiplicative while the
-    measured budget overshoots, parked inside the deadband, floored at 1."""
+    """Closed-loop budget enforcement: bit_scale trim (primary) + bounded
+    lambda1 boost (secondary); off while gated, parked in the deadband,
+    scale recovers on undershoot, boost floored at 1."""
     s = CurriculumScheduler(warmup_epochs=8, transition_epochs=25,
                             total_epochs=50, anneal_epochs=25,
                             budget_anneal="exp_exact",
-                            budget_controller=True, controller_kp=0.3)
+                            budget_controller=True, controller_kp=0.3,
+                            controller_scale_kp=0.7)
     # gate not fully open early: controller must not engage
     assert s.get_bit_budget_gate(10) < 1.0
     assert s.update_budget_controller(6.0, 10) == 1.0
-    # post-anneal: overshoot boosts multiplicatively
-    b1 = s.update_budget_controller(5.5, 30)
-    assert b1 == pytest.approx(math.exp(0.3 * 1.5))
-    b2 = s.update_budget_controller(5.0, 31)
-    assert b2 == pytest.approx(b1 * math.exp(0.3 * 1.0))
+    assert s.bit_scale == 1.0 and s.lambda1_boost == 1.0
+    # post-anneal overshoot: scale trims down, boost grows (capped at 8)
+    sc1 = s.update_budget_controller(5.5, 30)
+    assert sc1 == pytest.approx((4.0 / 5.5) ** 0.7)
+    assert s.lambda1_boost == pytest.approx(math.exp(0.3 * 1.5))
+    assert s.get_effective_temperature(30) == pytest.approx(
+        s.get_temperature(30) * sc1)
     assert s.get_loss_weights(32)["bit_budget"] == pytest.approx(
-        (0.01 + 0.09 * 32 / 50) * b2)
+        (0.01 + 0.09 * 32 / 50) * s.lambda1_boost)
+    for _ in range(20):
+        s.update_budget_controller(8.0, 31)
+    assert s.lambda1_boost == 8.0       # boost cap
+    assert s.bit_scale == 0.5           # scale floor
     # inside the deadband: parked
-    assert s.update_budget_controller(4.05, 33) == b2
-    # undershoot decays but never below 1
+    b, sc = s.lambda1_boost, s.bit_scale
+    assert s.update_budget_controller(4.05, 33) == sc
+    assert s.lambda1_boost == b
+    # undershoot: scale recovers toward (and past) 1 up to the 1.3 cap,
+    # boost decays to its floor of 1
     for _ in range(40):
         s.update_budget_controller(2.0, 34)
+    assert s.bit_scale == 1.3
     assert s.lambda1_boost == 1.0
     # disabled: permanent no-op
     ref = CurriculumScheduler()
     assert ref.update_budget_controller(8.0, 299) == 1.0
+    assert ref.get_effective_temperature(299) == ref.get_temperature(299)
     assert ref.get_loss_weights(299)["bit_budget"] == pytest.approx(
         0.01 + 0.09 * 299 / 300)
