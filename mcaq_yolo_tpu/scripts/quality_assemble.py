@@ -40,9 +40,9 @@ def assemble(main_paths, kd_paths=()):
         "protocol": {
             "seeds": [m["config"]["seed"] for m in mains],
             "per_seed_config": mains[0]["config"],
-            "note": ("fresh synthetic-v2 dataset draw per seed; DEFAULT "
+            "note": ("fresh synthetic dataset draw per seed; DEFAULT "
                      "mapper config (monotone_param=softplus + lambda1/2 "
-                     "saturation gate)"),
+                     "saturation gate + closed-loop budget controller)"),
         },
     }
 
@@ -56,12 +56,17 @@ def assemble(main_paths, kd_paths=()):
     out["mcaq_trained_arm"] = arm(
         "mcaq_trained_arm",
         ("map50", "map50_95", "avg_bits", "compression",
+         "deploy_temperature",
          "rounded_map_spatial_std_mean", "rounded_map_spatial_std_max"))
     out["posthoc_quant_arm"] = arm(
         "posthoc_quant_arm", ("map50", "map50_95", "avg_bits"))
+    out["matched_ptq_arm"] = arm(
+        "matched_ptq_arm", ("map50", "map50_95", "avg_bits", "pinned_bits"))
     for delta in ("delta_mcaq_vs_fp_map50_95",
                   "delta_posthoc_vs_fp_map50_95",
-                  "mcaq_recovers_over_posthoc_map50_95"):
+                  "mcaq_recovers_over_posthoc_map50_95",
+                  "mcaq_vs_matched_ptq_map50_95",
+                  "delta_matched_ptq_vs_fp_map50_95"):
         out[delta] = _mean_std([m.get(delta) for m in mains])
     # per-seed deployed bit histograms (degeneracy check, VERDICT r3 item 2)
     out["mcaq_bit_histograms_per_seed"] = {
