@@ -119,22 +119,23 @@ def task_aligned_assign(
     candidate = in_gts & gt_valid[:, :, None]
     align = jnp.where(candidate, align, 0.0)
 
-    # strict top-k per gt over anchors (static k): scatter the selected
-    # indices rather than thresholding on the kth value, which would admit
-    # extra anchors on exact ties — matches the reference assigner's exact
-    # top-k scatter semantics.
-    topk_vals, topk_idx = jax.lax.top_k(align, topk)  # (B, M, topk)
-    sel = (topk_vals > eps).astype(align.dtype)  # drop zero-align padding
-    mask_topk = (
-        jnp.zeros_like(align)
-        .at[
-            jnp.arange(B)[:, None, None],
-            jnp.arange(M)[None, :, None],
-            topk_idx,
-        ]
-        .add(sel)
-        > 0
-    )
+    # strict top-k per gt over anchors (static k) by iterative masked argmax:
+    # k rounds of (argmax, knock out) — identical selection to lax.top_k with
+    # an exact-ties-to-lowest-index rule (argmax returns the first maximum,
+    # exactly top_k's stable order), but compiled as k cheap VPU
+    # reduce+compare passes instead of a per-row sort plus a scatter-add
+    # (XLA:TPU lowers variadic sort and scatter far off the vector unit's
+    # speed of light; measured in evidence/r5/train_breakdown.json where
+    # TAL+loss cost as much as the whole model forward).
+    anchor_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, A), 2)
+    mask_topk = jnp.zeros(align.shape, jnp.bool_)
+    work = align
+    for _ in range(topk):
+        idx = jnp.argmax(work, axis=-1)  # (B, M), first max on ties
+        val = jnp.max(work, axis=-1)  # (B, M)
+        pick = (anchor_iota == idx[..., None]) & (val > eps)[..., None]
+        mask_topk = mask_topk | pick
+        work = jnp.where(pick, -1.0, work)
     mask_pos = mask_topk & candidate  # (B, M, A)
 
     # conflict resolution: anchor claimed by multiple gts -> max overlap wins
@@ -234,8 +235,17 @@ class DetectionLoss:
         pb_pix = pb * strides[None]  # (B, A, 4) pixels
         points_pix = points * strides  # (A, 2) pixels
 
+        # the assigner is a TARGET BUILDER, not part of the differentiable
+        # graph: the reference's v8DetectionLoss calls it on detached
+        # scores/boxes (pred_scores.detach(), pred_bboxes.detach()), so the
+        # BCE/box/dfl targets and their weights carry no gradient.  Detaching
+        # here matches that semantics and removes the entire (B, M, A)
+        # assignment graph from the backward pass (measured at ~49% of the
+        # train step, evidence/r5/train_breakdown.json).
         tb, target_scores, fg_mask = task_aligned_assign(
-            pred_scores, pb_pix, points_pix, gt_boxes, gt_classes, gt_mask
+            jax.lax.stop_gradient(pred_scores),
+            jax.lax.stop_gradient(pb_pix),
+            points_pix, gt_boxes, gt_classes, gt_mask
         )
 
         tss = jnp.clip(target_scores.sum(), 1.0, None)

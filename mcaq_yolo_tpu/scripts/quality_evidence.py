@@ -203,6 +203,12 @@ def run(img_size=640, epochs=60, n_images=192, batch_size=16,
             # AP to the floor — so v3 runs with reduced mosaic probability
             "data": {"yaml_path": yaml_path, "img_size": img_size,
                      "max_boxes": 16, "num_workers": 2,
+                     # device-resident pipeline: over the single-admission
+                     # tunnel, per-batch pixel transfer is ~10 s/step; the
+                     # HBM-banked pipeline ships only augmentation plans
+                     # (data/device_pipeline.py) and was measured at
+                     # ~100x the epoch rate of the host path on this host
+                     "device_pipeline": True,
                      "mosaic_p": 0.25 if dataset == "v3" else 0.5},
             "epochs": n_epochs,
             "batch_size": batch_size,
@@ -253,10 +259,11 @@ def run(img_size=640, epochs=60, n_images=192, batch_size=16,
         # arms (--arms c --fp-ckpt ...) evaluate the SAME val subset as arms
         # trained in another invocation — otherwise cross-arm mAP deltas
         # compare different image sets when n_val % batch != 0.
-        return DataLoader(
-            YOLODataset(data["val"], img_size, 16, augment=False),
-            batch_size, shuffle=False, drop_last=False,
-        )
+        from ..data.device_pipeline import DevicePipeline
+
+        return DevicePipeline(
+            YOLODataset(data["val"], img_size, 16, augment=False)
+        ).loader(batch_size, shuffle=False, drop_last=False, augment=False)
 
     # ---------------- arm A: FP32-trained baseline -----------------------
     if "a" in arms:
@@ -316,11 +323,12 @@ def run(img_size=640, epochs=60, n_images=192, batch_size=16,
         dummy = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
         ph_vars = ph_model.init(jax.random.PRNGKey(0), dummy, training=False)
         ph_vars = tolerant_restore(ph_vars, fp_ckpt, warn=False)
+        from ..data.device_pipeline import DevicePipeline
+
         train_dir = load_dataset_yaml(yaml_path)["train"]
-        calib_loader = DataLoader(
-            YOLODataset(train_dir, img_size, 16, augment=False),
-            batch_size, shuffle=False,
-        )
+        calib_loader = DevicePipeline(
+            YOLODataset(train_dir, img_size, 16, augment=False)
+        ).loader(batch_size, shuffle=False)
         ph_vars = calibrate(ph_model, ph_vars, calib_loader,
                             num_images=min(n_images, 256))
         val_loader = (mcaq_trainer.val_loader if mcaq_trainer is not None

@@ -349,14 +349,32 @@ class Trainer:
             val_dir, self.img_size, max_boxes, augment=False, seed=seed
         )
         self.num_workers = int(dcfg.get("num_workers", 0))
-        self.train_loader = DataLoader(
-            self.train_dataset, self.batch_size, shuffle=True, seed=seed,
-            num_workers=self.num_workers,
-        )
-        self.val_loader = DataLoader(
-            self.val_dataset, self.batch_size, shuffle=False, drop_last=False,
-            num_workers=self.num_workers,
-        )
+        # device-resident pipeline (data.device_pipeline): preload both
+        # splits to HBM once and ship per-batch augmentation PLANS instead
+        # of pixels.  Essential over the single-admission device tunnel,
+        # where per-batch image transfer is ~10 s (data/device_pipeline.py
+        # module docstring); off by default so the host path stays the
+        # reference-semantics arbiter.
+        self.device_pipeline = bool(dcfg.get("device_pipeline", False))
+        if self.device_pipeline:
+            from .data.device_pipeline import DevicePipeline
+
+            self._dev_train = DevicePipeline(self.train_dataset)
+            self._dev_val = DevicePipeline(self.val_dataset)
+            self.train_loader = self._dev_train.loader(
+                self.batch_size, shuffle=True, seed=seed)
+            self.val_loader = self._dev_val.loader(
+                self.batch_size, shuffle=False, drop_last=False,
+                augment=False)
+        else:
+            self.train_loader = DataLoader(
+                self.train_dataset, self.batch_size, shuffle=True, seed=seed,
+                num_workers=self.num_workers,
+            )
+            self.val_loader = DataLoader(
+                self.val_dataset, self.batch_size, shuffle=False,
+                drop_last=False, num_workers=self.num_workers,
+            )
 
         # ---- curriculum ----
         self.curriculum_cfg = ccfg
@@ -670,12 +688,17 @@ class Trainer:
         quantize = stage >= 2  # Stage 1: high-precision warm-up
 
         indices = self._curriculum_indices(tau_t)
-        loader = (
-            DataLoader(self.train_dataset, self.batch_size, shuffle=True,
-                       indices=indices, seed=self.seed + epoch,
-                       num_workers=self.num_workers)
-            if indices is not None else self.train_loader
-        )
+        if indices is None:
+            loader = self.train_loader
+        elif self.device_pipeline:
+            loader = self._dev_train.loader(
+                self.batch_size, shuffle=True, indices=indices,
+                seed=self.seed + epoch)
+        else:
+            loader = DataLoader(self.train_dataset, self.batch_size,
+                                shuffle=True, indices=indices,
+                                seed=self.seed + epoch,
+                                num_workers=self.num_workers)
 
         agg: Dict[str, float] = {}
         hist = np.zeros(7, np.int64)

@@ -95,6 +95,86 @@ def test_detection_loss_finite_and_differentiable():
     assert gn > 0.0
 
 
+def test_assigner_topk_matches_sort_scatter_reference():
+    """The iterative masked-argmax top-k must select EXACTLY the anchors the
+    sort+scatter formulation selects — including zero-align padding drops and
+    exact ties (both resolve ties to the lowest index: lax.top_k is stable,
+    argmax returns the first maximum)."""
+    rng = np.random.default_rng(7)
+    B, M, A, k, eps = 3, 16, 841, 10, 1e-9
+    for trial in range(3):
+        align = rng.random((B, M, A)).astype(np.float32)
+        align[rng.random((B, M, A)) < 0.6] = 0.0  # masked-out candidates
+        align[:, :, 5] = align[:, :, 17]  # exact tie pair
+        align = jnp.asarray(align)
+
+        tv, ti = jax.lax.top_k(align, k)
+        sel = (tv > eps).astype(align.dtype)
+        ref = (
+            jnp.zeros_like(align)
+            .at[np.arange(B)[:, None, None], np.arange(M)[None, :, None], ti]
+            .add(sel)
+            > 0
+        )
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, A), 2)
+        got = jnp.zeros(align.shape, jnp.bool_)
+        work = align
+        for _ in range(k):
+            idx = jnp.argmax(work, axis=-1)
+            val = jnp.max(work, axis=-1)
+            pick = (iota == idx[..., None]) & (val > eps)[..., None]
+            got = got | pick
+            work = jnp.where(pick, -1.0, work)
+        assert bool(jnp.all(ref == got)), f"selection diverged (trial {trial})"
+
+
+def test_assigner_targets_carry_no_gradient():
+    """The TAL assigner is a target builder: the reference calls it on
+    DETACHED scores/boxes (Ultralytics v8DetectionLoss), so d(target)/d(pred)
+    must be exactly zero — gradients reach predictions only through the
+    box/cls/dfl losses themselves."""
+    loss = DetectionLoss(num_classes=4)
+    maps = _fake_raw_maps()
+    gtb, gtc, gtm = _fake_targets()
+
+    def target_mass(maps):
+        # reconstruct the assigner inputs exactly as DetectionLoss does,
+        # then reduce the targets: any grad => assignment not detached
+        from mcaq_yolo_tpu.models.losses import task_aligned_assign as tal
+        from mcaq_yolo_tpu.models.yolo import dfl_decode, make_anchors
+
+        B = maps[0].shape[0]
+        feat_shapes = [m.shape[1:3] for m in maps]
+        points, strides = make_anchors(feat_shapes)
+        flat = jnp.concatenate(
+            [m.reshape(B, -1, m.shape[-1]) for m in maps], axis=1
+        ).astype(jnp.float32)
+        pred_dist = flat[..., : 4 * REG_MAX].reshape(B, -1, 4, REG_MAX)
+        scores = jax.nn.sigmoid(flat[..., 4 * REG_MAX:])
+        dist = dfl_decode(pred_dist)
+        pb = jnp.concatenate(
+            [points[None] - dist[..., :2], points[None] + dist[..., 2:]],
+            axis=-1,
+        )
+        tb, ts, fg = tal(
+            jax.lax.stop_gradient(scores),
+            jax.lax.stop_gradient(pb * strides[None]),
+            points * strides, gtb, gtc, gtm,
+        )
+        return ts.sum() + tb.sum()
+
+    grads = jax.grad(target_mass)(maps)
+    assert sum(float(jnp.abs(g).sum()) for g in grads) == 0.0
+
+    # and the full loss still differentiates w.r.t. predictions
+    val, grads = jax.value_and_grad(
+        lambda m: loss(m, gtb, gtc, gtm)[0].sum()
+    )(maps)
+    assert np.isfinite(float(val))
+    assert sum(float(jnp.abs(g).sum()) for g in grads) > 0.0
+
+
 def test_detection_loss_empty_targets():
     """No GT at all: box/dfl zero, cls pushes scores down, still finite."""
     loss = DetectionLoss(num_classes=4)
