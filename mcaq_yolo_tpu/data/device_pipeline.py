@@ -217,8 +217,29 @@ class DevicePipeline:
                 self.classes.append(np.asarray(cl, np.int32))
         finally:
             dataset.augment = was_aug
-        # ONE bulk transfer instead of one per batch per epoch
-        self.bank = jnp.asarray(np.stack(imgs))  # (N, S, S, 3) uint8
+        # One bulk upload instead of one transfer per batch per epoch —
+        # chunked at ~64 MB: the tunnel moves 16-240 MB payloads at
+        # 20-30 MB/s, but a single multi-hundred-MB RPC has been observed
+        # to stall a degraded tunnel session, and chunking bounds the
+        # blast radius (each piece retries independently at dispatch).
+        stack = np.stack(imgs)  # (N, S, S, 3) uint8
+        per = max(1, (64 << 20) // max(1, stack[0].nbytes))
+        from ..utils.sync import sync
+
+        parts = []
+        for i in range(0, len(stack), per):
+            part = jnp.asarray(stack[i:i + per])
+            # synchronize per chunk: bounds in-flight tunnel data (an
+            # unsynced multi-hundred-MB pile-up has been observed to stall
+            # a tunnel session indefinitely) and gives visible progress
+            sync(part)
+            parts.append(part)
+            print(f"[device-pipeline] bank upload "
+                  f"{min(i + per, len(stack))}/{len(stack)} images",
+                  flush=True)
+        self.bank = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        if len(parts) > 1:
+            sync(self.bank)
         self._augment = _make_augment_fn(self.S)
 
     def __len__(self) -> int:

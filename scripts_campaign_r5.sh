@@ -5,6 +5,9 @@
 # axon tunnel admits ONE process.  Logs + per-seed JSONs under evidence/r5.
 set -u
 cd /root/repo
+export PYTHONUNBUFFERED=1
+# cool-down: give the tunnel time to release the previous holder
+sleep 45
 mkdir -p evidence/r5 outputs
 for seed in 0 1 2; do
   out=evidence/r5/quality_seed${seed}.json
@@ -13,7 +16,7 @@ for seed in 0 1 2; do
     continue
   fi
   echo "=== seed $seed start $(date -u +%H:%M:%S) ==="
-  timeout 14400 python -m mcaq_yolo_tpu.scripts.quality_evidence \
+  timeout 14400 python -u -m mcaq_yolo_tpu.scripts.quality_evidence \
     --seed "$seed" --epochs 50 --fp-epochs 40 --n-images 192 \
     --root "outputs/q_r5_seed${seed}" --out "$out" \
     > "evidence/r5/quality_seed${seed}.log" 2>&1
