@@ -6,8 +6,6 @@
 set -u
 cd /root/repo
 export PYTHONUNBUFFERED=1
-# cool-down: give the tunnel time to release the previous holder
-sleep 45
 mkdir -p evidence/r5 outputs
 for seed in 0 1 2; do
   out=evidence/r5/quality_seed${seed}.json
@@ -15,6 +13,10 @@ for seed in 0 1 2; do
     echo "seed $seed already done, skipping"
     continue
   fi
+  # cool-down before EVERY seed: a process whose first device contact
+  # comes <60 s after the previous tunnel holder exited (cleanly or not)
+  # can stall forever on its first RPC; 3-5 min gaps are reliable
+  sleep 240
   echo "=== seed $seed start $(date -u +%H:%M:%S) ==="
   timeout 14400 python -u -m mcaq_yolo_tpu.scripts.quality_evidence \
     --seed "$seed" --epochs 50 --fp-epochs 40 --n-images 192 \
