@@ -515,5 +515,60 @@ def main():
     return state["result"]
 
 
+def _stall_class(last_line: str) -> bool:
+    """True when the failure is the tunnel-session stall/admission class
+    (retryable after a cool-down) rather than a genuine benchmark error."""
+    return ("did not complete" in last_line) or ("unreachable" in last_line)
+
+
+def _main_with_retry():
+    """Run the bench in a CHILD process and retry ONCE after a cool-down on
+    the tunnel-stall failure class.  Measured pathology (PARITY.md
+    "Device-resident data pipeline" / memory notes): a process whose first
+    device RPC lands shortly after the previous tunnel holder exited can
+    stall forever; the child's watchdog turns that into a bounded exit 2,
+    and a ~3 min gap reliably clears the condition.  The child's stdout is
+    re-printed verbatim and immediately, so a driver that kills this
+    wrapper mid-retry still sees attempt 1's complete JSON lines — the
+    retry can only improve the final line, never lose it."""
+    import subprocess
+
+    budget = float(os.environ.get("BENCH_TIME_BUDGET_S", "330"))
+    env = dict(os.environ, BENCH_CHILD="1")
+    # BENCH_SELF: test seam — lets the wrapper's retry/streaming logic be
+    # exercised against a scripted child without touching the device
+    child = os.environ.get("BENCH_SELF", os.path.abspath(__file__))
+    for attempt in (1, 2):
+        proc = subprocess.Popen(
+            [sys.executable, "-u", child],
+            env=env, stdout=subprocess.PIPE, stderr=sys.stderr, text=True,
+        )
+        # stream the child's lines LIVE — a driver that kills this wrapper
+        # mid-run must still see everything the child printed so far.  The
+        # child self-terminates via its watchdog at budget+45 s; the timer
+        # is a backstop (readline blocks, so an inline deadline check
+        # could starve).
+        killer = threading.Timer(budget + 120.0, proc.kill)
+        killer.daemon = True
+        killer.start()
+        lines = []
+        for line in proc.stdout:
+            sys.stdout.write(line)
+            sys.stdout.flush()
+            if line.strip():
+                lines.append(line.strip())
+        rc = proc.wait()
+        killer.cancel()
+        last_line = lines[-1] if lines else ""
+        if rc == 0 or attempt == 2 or not (
+                _stall_class(last_line) or not lines):
+            sys.exit(rc)
+        time.sleep(float(os.environ.get("BENCH_RETRY_COOLDOWN_S", "200")))
+    sys.exit(2)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD", "0") == "1":
+        main()
+    else:
+        _main_with_retry()

@@ -1,5 +1,8 @@
 """Unit tests for the analysis scripts' pure helpers."""
 
+import os
+from pathlib import Path
+
 import jax
 import numpy as np
 
@@ -300,3 +303,43 @@ def test_quality_assemble_full_table(tmp_path):
     assert out2["fp_trained_arm"]["map50_95"]["n"] == 1
     assert out2["mcaq_trained_arm"]["map50_95"]["n"] == 2
     assert out2["delta_mcaq_vs_fp_map50_95"]["n"] == 1
+
+
+def test_bench_retry_wrapper(tmp_path, monkeypatch):
+    """bench.py's parent wrapper must stream child lines live, retry ONCE
+    on the tunnel-stall failure class, and pass through genuine results
+    and genuine (non-stall) errors without retrying."""
+    import subprocess
+    import sys
+
+    bench = str(Path(__file__).resolve().parents[1] / "bench.py")
+
+    def run_with_child(child_code, extra_env=None):
+        child = tmp_path / f"child_{abs(hash(child_code)) % 99999}.py"
+        child.write_text(child_code)
+        env = dict(os.environ, BENCH_SELF=str(child),
+                   BENCH_RETRY_COOLDOWN_S="0", BENCH_TIME_BUDGET_S="30",
+                   **(extra_env or {}))
+        env.pop("BENCH_CHILD", None)
+        return subprocess.run([sys.executable, bench], env=env,
+                              capture_output=True, text=True, timeout=120)
+
+    # 1. success: no retry, child line passed through, rc 0
+    ok = '{"metric": "images_per_sec", "value": 42.0}'
+    r = run_with_child(f"print('{ok}')")
+    assert r.returncode == 0
+    assert r.stdout.count('"value": 42.0') == 1
+
+    # 2. stall-class failure: retried exactly once; both attempts visible
+    stall = ('{"metric": "images_per_sec", "value": 0.0, '
+             '"error": "headline arm did not complete within budget"}')
+    r = run_with_child(f"import sys; print('{stall}'); sys.exit(2)")
+    assert r.returncode == 2
+    assert r.stdout.count("did not complete") == 2
+
+    # 3. genuine (non-stall) error: NOT retried
+    err = ('{"metric": "images_per_sec", "value": 0.0, '
+           '"error": "some assertion failed"}')
+    r = run_with_child(f"import sys; print('{err}'); sys.exit(2)")
+    assert r.returncode == 2
+    assert r.stdout.count("assertion failed") == 1
