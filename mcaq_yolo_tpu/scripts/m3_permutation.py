@@ -41,6 +41,30 @@ def permute_bit_map(bit_map: np.ndarray, mode: str, seed: int) -> np.ndarray:
     raise ValueError(mode)
 
 
+def apply_external_bit_maps(model, variables, images, maps,
+                            training: bool = False):
+    """Forward the MCAQ model with EXTERNALLY SUPPLIED per-scale bit maps:
+    backbone -> quantize(maps) -> neck -> head, with the SAME input
+    normalization as MCAQYOLO.__call__ (uint8 batches fed raw into the
+    backbone silently zero the detector — the bug class this helper
+    exists to centralize).  Returns the raw per-scale prediction maps.
+    Shared by the M3 placement and M4 variation-gain ablations; pinned
+    against the standard forward by test_scripts.py (identity maps must
+    reproduce the normal quantized forward exactly)."""
+    from ..models.yolo import normalize_image
+
+    def fwd(mdl):
+        feats = mdl.backbone(normalize_image(images), training)
+        feats_q = [
+            mdl.quantizers[i](f, maps[i], training=training)
+            for i, f in enumerate(feats)
+        ]
+        p3, p4, p5 = mdl.neck(*feats_q, training=training)
+        return mdl.head([p3, p4, p5], training)
+
+    return model.apply(variables, method=lambda mdl: fwd(mdl))
+
+
 def run(model_path: str, data_yaml: str, img_size: int = 640,
         num_classes: int = 80, variant: str = "yolov8n",
         batch_size: int = 8, conf: float = 0.001, iou: float = 0.65,
@@ -54,6 +78,7 @@ def run(model_path: str, data_yaml: str, img_size: int = 640,
     from ..ops.nms import batched_nms
     from ..utils.evaluation import (
         compute_map,
+        compute_map50_95,
         detections_to_numpy,
         extract_targets_per_image,
     )
@@ -66,10 +91,16 @@ def run(model_path: str, data_yaml: str, img_size: int = 640,
     ds = YOLODataset(ds_cfg["val"], img_size, augment=False)
     loader = DataLoader(ds, batch_size, shuffle=False, drop_last=False)
 
-    # step 1: collect the model's own integer bit maps per image/scale
+    # step 1: collect the model's own integer bit maps per image/scale,
+    # at the checkpoint's DEPLOYMENT temperature (the budget controller's
+    # bit_scale trim rides in the ckpt meta and Predictor honors it —
+    # evaluating the placement arms at any other temperature would ablate
+    # a bit histogram the deployed model never uses)
+    deploy_t = jnp.float32(getattr(pred, "deploy_temperature", 1.0))
+
     @jax.jit
     def forward_with_maps(variables, images):
-        raw, aux = model.apply(variables, images, temperature=1.0,
+        raw, aux = model.apply(variables, images, temperature=deploy_t,
                                quantize=True, training=False)
         return aux["bit_map"]
 
@@ -78,16 +109,7 @@ def run(model_path: str, data_yaml: str, img_size: int = 640,
     # re-run backbone -> quantize with given maps -> neck -> head.
     @jax.jit
     def forward_given_maps(variables, images, maps):
-        def fwd(mdl):
-            feats = mdl.backbone(images, False)
-            feats_q = [
-                mdl.quantizers[i](f, maps[i], training=False)
-                for i, f in enumerate(feats)
-            ]
-            p3, p4, p5 = mdl.neck(*feats_q, training=False)
-            return mdl.head([p3, p4, p5], False)
-
-        raw = model.apply(variables, method=lambda mdl: fwd(mdl))
+        raw = apply_external_bit_maps(model, variables, images, maps)
         boxes, scores, _, _ = decode_predictions(raw, num_classes)
         return batched_nms(boxes, scores, conf_threshold=conf,
                            iou_threshold=iou, max_det=max_det)
@@ -114,13 +136,23 @@ def run(model_path: str, data_yaml: str, img_size: int = 640,
     summary = {}
     for mode, d in arms.items():
         res = compute_map(d["preds"], d["targets"], 0.5)
-        summary[mode] = {"map50": res["map"], "num_images": res["num_images"]}
-    summary["placement_gain_vs_permuted"] = (
-        summary["mcaq"]["map50"] - summary["permuted"]["map50"]
-    )
-    summary["placement_gain_vs_inverted"] = (
-        summary["mcaq"]["map50"] - summary["inverted"]["map50"]
-    )
+        # mAP@50-95 as well: at non-damaging budgets mAP@0.5 saturates and
+        # cannot resolve a placement effect (observed on the r5 quality
+        # checkpoint: all three arms at 0.9929 mAP@0.5)
+        res5095 = compute_map50_95(d["preds"], d["targets"])
+        summary[mode] = {"map50": res["map"],
+                         "map50_95": res5095["map50_95"],
+                         "num_images": res["num_images"]}
+    for metric in ("map50", "map50_95"):
+        summary[f"placement_gain_vs_permuted_{metric}"] = (
+            summary["mcaq"][metric] - summary["permuted"][metric])
+        summary[f"placement_gain_vs_inverted_{metric}"] = (
+            summary["mcaq"][metric] - summary["inverted"][metric])
+    # legacy aliases (r4 evidence schema)
+    summary["placement_gain_vs_permuted"] = \
+        summary["placement_gain_vs_permuted_map50"]
+    summary["placement_gain_vs_inverted"] = \
+        summary["placement_gain_vs_inverted_map50"]
     return summary
 
 

@@ -53,6 +53,8 @@ def run(model_path: str, data_yaml: str, img_size: int = 640,
     from ..data.dataset import DataLoader, YOLODataset, load_dataset_yaml
     from ..inference import Predictor
     from ..models.yolo import decode_predictions
+
+    from .m3_permutation import apply_external_bit_maps
     from ..ops.nms import batched_nms
     from ..utils.evaluation import detections_to_numpy, extract_targets_per_image
 
@@ -81,16 +83,7 @@ def run(model_path: str, data_yaml: str, img_size: int = 640,
 
     @jax.jit
     def forward_uniform(variables, images, maps):
-        def fwd(mdl):
-            feats = mdl.backbone(images, False)
-            feats_q = [
-                mdl.quantizers[i](f, maps[i], training=False)
-                for i, f in enumerate(feats)
-            ]
-            p3, p4, p5 = mdl.neck(*feats_q, training=False)
-            return mdl.head([p3, p4, p5], False)
-
-        raw = model.apply(variables, method=lambda mdl: fwd(mdl))
+        raw = apply_external_bit_maps(model, variables, images, maps)
         boxes, scores, _, _ = decode_predictions(raw, num_classes)
         return batched_nms(boxes, scores, conf_threshold=0.001,
                            iou_threshold=0.65, max_det=300)

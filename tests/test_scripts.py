@@ -343,3 +343,30 @@ def test_bench_retry_wrapper(tmp_path, monkeypatch):
     r = run_with_child(f"import sys; print('{err}'); sys.exit(2)")
     assert r.returncode == 2
     assert r.stdout.count("assertion failed") == 1
+
+
+def test_external_bit_maps_identity_matches_normal_forward():
+    """apply_external_bit_maps with the model's OWN bit maps must reproduce
+    the standard quantized forward exactly — pins input normalization and
+    quantizer plumbing (a missing normalize_image once zeroed every M3/M4
+    arm on uint8 batches while the schema-level tests stayed green)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mcaq_yolo_tpu.models import MCAQYOLO
+    from mcaq_yolo_tpu.scripts.m3_permutation import apply_external_bit_maps
+
+    model = MCAQYOLO(variant="yolov8n", num_classes=4, bit_mapping="linear")
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.integers(0, 255, (2, 128, 128, 3), dtype=np.uint8))
+    variables = model.init(jax.random.PRNGKey(0), images.astype(jnp.float32),
+                           training=False)
+
+    raw_normal, aux = model.apply(variables, images, temperature=1.0,
+                                  quantize=True, training=False)
+    raw_ext = apply_external_bit_maps(model, variables, images,
+                                      aux["bit_map"])
+    for a, b in zip(raw_normal, raw_ext):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
