@@ -468,8 +468,11 @@ def main():
         return None
 
     def arm_train():
+        # >=10 timed steps: at ~170 ms/step the arm costs ~2 s warm, and
+        # 4-5-step samples showed +/-5% run-to-run spread (168-190 img/s
+        # for the same program across this round's runs)
         extra["train_yolov8m_bs32_imgs_per_sec_per_chip"] = round(
-            _train_imgs_per_sec("yolov8m", 32, img, max(4, iters // 4)), 1)
+            _train_imgs_per_sec("yolov8m", 32, img, max(10, iters // 2)), 1)
         return None
 
     def arm_torch_cpu():
