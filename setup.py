@@ -8,7 +8,7 @@ from setuptools import find_packages, setup
 
 setup(
     name="mcaq-yolo-tpu",
-    version="0.1.0",
+    version="0.5.0",
     description=(
         "MCAQ-YOLO on TPU: morphological complexity-aware quantization for "
         "YOLO, JAX/Flax/Pallas-native (arXiv:2511.12976)"
