@@ -23,7 +23,7 @@ utils/      evaluation (mAP), visualization, repro, model utils
 scripts/    backend_agreement, m3_permutation, m4_variation_gain
 """
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
 
 # Backend-name guard: some hosts pin JAX_PLATFORMS to a TPU plugin name
 # ('axon') that the installed plugin may no longer register under; fall
