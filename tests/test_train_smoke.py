@@ -317,3 +317,53 @@ def test_predictor_mirrors_model_config_from_meta(trained, tmp_path):
     assert p2.model.morph_downsample == 1
     assert p2.model.monotone_param == "abs"
     assert p2.model.min_bits == 3  # untouched keys still come from meta
+
+
+def test_deploy_temperature_roundtrip(tmp_path):
+    """The budget controller's bit_scale trim must survive the checkpoint
+    round-trip: save_checkpoint writes it as deploy_temperature in meta,
+    Predictor honors it, and the deployed bit maps actually scale (the
+    QUALITY_r05 results evaluate at this trained trim — an untested break
+    here would silently deploy every controller-trained model at 1.0)."""
+    from mcaq_yolo_tpu.data import make_synthetic_dataset
+    from mcaq_yolo_tpu.inference import Predictor
+
+    yaml_path = make_synthetic_dataset(str(tmp_path), n_images=4,
+                                       img_size=IMG, n_classes=4)
+    config = {
+        "model": {"name": "yolov8n", "num_classes": 4, "teacher_path": None},
+        "data": {"yaml_path": yaml_path, "img_size": IMG, "max_boxes": 8},
+        "epochs": 2, "batch_size": 2, "learning_rate": 1e-3,
+        "quantization": {"min_bits": 2, "max_bits": 8, "target_bits": 4.0,
+                         "grid_size": 8, "bit_mapping": "linear"},
+        "curriculum": {"enabled": True, "warmup_epochs": 1,
+                       "transition_epochs": 1, "budget_controller": True},
+        "distillation": {"enabled": False},
+        "training": {"map_interval": 10, "amp": False},
+        "seed": 0,
+        "output_dir": str(tmp_path / "out"),
+    }
+    from mcaq_yolo_tpu.train import Trainer
+
+    trainer = Trainer(config)
+    trainer.curriculum.bit_scale = 0.8  # as the controller would set it
+    trainer.save_checkpoint("best.ckpt", epoch=0)
+
+    pred = Predictor(str(tmp_path / "out" / "best.ckpt"), warmup=False)
+    assert pred.deploy_temperature == pytest.approx(0.8)
+
+    # the trim must actually scale the deployed allocation
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def bits_at(t):
+        _, aux = pred.model.apply(
+            pred.variables,
+            jnp.zeros((1, IMG, IMG, 3), jnp.float32) + 0.5,
+            temperature=jnp.float32(t), quantize=True, training=False)
+        return aux["avg_bits"]
+
+    b_deploy = float(bits_at(pred.deploy_temperature))
+    b_unit = float(bits_at(1.0))
+    assert b_deploy < b_unit
