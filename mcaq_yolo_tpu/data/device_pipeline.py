@@ -194,7 +194,7 @@ class DevicePipeline:
     Label arrays stay host numpy — evaluation/target extraction consume
     them host-side anyway (utils/evaluation.py:141-151)."""
 
-    def __init__(self, dataset: YOLODataset):
+    def __init__(self, dataset: YOLODataset, chunk_bytes: int = 64 << 20):
         if dataset.img_size % 2 != 0:
             raise ValueError("DevicePipeline requires an even img_size")
         import jax.numpy as jnp
@@ -223,7 +223,7 @@ class DevicePipeline:
         # to stall a degraded tunnel session, and chunking bounds the
         # blast radius (each piece retries independently at dispatch).
         stack = np.stack(imgs)  # (N, S, S, 3) uint8
-        per = max(1, (64 << 20) // max(1, stack[0].nbytes))
+        per = max(1, int(chunk_bytes) // max(1, stack[0].nbytes))
         from ..utils.sync import sync
 
         parts = []

@@ -239,3 +239,14 @@ def test_trainer_end_to_end_with_device_pipeline(tmp_path):
     ev = trainer.evaluate(3)
     assert 0.0 <= ev["map50"] <= 1.0
     assert (tmp_path / "outputs" / "last.ckpt").exists()
+
+
+def test_chunked_bank_upload_equals_single(ds):
+    """The chunked (64 MB default) bank upload must assemble the identical
+    bank as a single-shot upload — pins the concatenate path that only
+    triggers on banks larger than one chunk."""
+    one = DevicePipeline(ds)  # bank fits one chunk at this size
+    multi = DevicePipeline(ds, chunk_bytes=2 * ds.img_size * ds.img_size * 3)
+    np.testing.assert_array_equal(np.asarray(one.bank),
+                                  np.asarray(multi.bank))
+    assert len(multi.bank) == len(ds)
